@@ -1,0 +1,33 @@
+"""Pixel shuffle / pooling primitives with torch layout parity (channels-last).
+
+Reference usages: ``nn.PixelShuffle(2)`` (ECRE, ``models/decoder/decoder.py:128``),
+``DAP = PixelShuffle(2) + AvgPool2d(2)`` (``decoder.py:140-143``), and the
+``AvgPool2d(2, 2)`` stages of the frequency pyramid (``decoder.py:147-181``).
+Torch orders pixel-shuffle input channels as ``c * r^2 + i * r + j``; we keep the same
+index semantics on the trailing NHWC axis so ported weights line up.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["pixel_shuffle", "avg_pool_2d"]
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(B, H, W, C*r^2) -> (B, H*r, W*r, C), torch channel ordering."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+def avg_pool_2d(x: jnp.ndarray, k: int, stride: int | None = None) -> jnp.ndarray:
+    """Average pooling over NHWC spatial dims (no padding)."""
+    stride = stride or k
+    y = lax.reduce_window(
+        x, 0.0, lax.add, (1, k, k, 1), (1, stride, stride, 1), "VALID"
+    )
+    return y / (k * k)
