@@ -1,0 +1,161 @@
+"""Multi-pyramid decoder with frequency gating (TPU-native).
+
+Re-design of ``models/decoder/decoder.py:41-225``.  All convolutions are
+channels-last; bilinear upsampling uses the exact torch semantics of
+:func:`mumpy_tpu.ops.resize.resize_bilinear` (the reference mixes
+``align_corners=True`` for the main decoder chain, ``decoder.py:72-93``, and the
+default ``align_corners=False`` for SEB/upsample2/upsample4, ``decoder.py:10,136-137``).
+
+Blocks:
+* per-stage view merge + Conv3d(T,1,1) temporal squeeze -> 256ch (``:98-120,191-194``)
+* five sigmoid-gated frequency pyramid levels from the FAF features (``:146-181``)
+* GCM separable large-kernel convs (``:17-39``), SEB multiplicative skips (``:6-14``),
+  ECRE PixelShuffle expansion (``:128,204-205``), DAP (``:139-143``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..configs.model_config import MumpyConfig
+from ..ops.pixel import avg_pool_2d, pixel_shuffle
+from ..ops.resize import upsample_2d
+from .encoder import merge_views_along_channel_axis
+from .swin import gelu, trunc_init  # noqa: F401 (gelu unused here, relu decoder)
+
+
+class GlobalConvModule(nn.Module):
+    """Separable large-kernel conv pair (``decoder.py:17-39``)."""
+
+    out_dim: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        xl = nn.Conv(self.out_dim, (k, 1), padding=((k // 2, k // 2), (0, 0)), name="conv_l1")(x)
+        xl = nn.Conv(self.out_dim, (1, k), padding=((0, 0), (k // 2, k // 2)), name="conv_l2")(xl)
+        xr = nn.Conv(self.out_dim, (1, k), padding=((0, 0), (k // 2, k // 2)), name="conv_r1")(x)
+        xr = nn.Conv(self.out_dim, (k, 1), padding=((k // 2, k // 2), (0, 0)), name="conv_r2")(xr)
+        return xl + xr
+
+
+class SEB(nn.Module):
+    """Semantic enhancement: x1 * upsample(conv(x2)) (``decoder.py:6-14``)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        y = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv")(x2)
+        return x1 * upsample_2d(y, 2, align_corners=False)
+
+
+class ConvGNReLUUp(nn.Module):
+    """conv3x3 + GroupNorm + ReLU + 2x bilinear (align_corners=True)
+    (``decoder.py:67-93``)."""
+
+    out_dim: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        x = nn.relu(x)
+        return upsample_2d(x, 2, align_corners=True)
+
+
+class FreqGate(nn.Module):
+    """AvgPool2 + conv3x3 + GroupNorm + Sigmoid (``decoder.py:146-181``)."""
+
+    out_dim: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        x = avg_pool_2d(x, 2)
+        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        return nn.sigmoid(x)
+
+
+class TemporalSqueeze(nn.Module):
+    """Conv3d(kernel=stride=(T,1,1)) + GroupNorm(16) + ReLU (``decoder.py:98-120``).
+
+    Input (B, T, n, C); the conv is a dense over the flattened (T, C) axis.
+    """
+
+    out_dim: int
+    height: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, n, c = x.shape
+        h = self.height
+        x = x.transpose(0, 2, 1, 3).reshape(b, h, n // h, t * c)  # (B, H, W, T*C)
+        x = nn.Dense(self.out_dim, kernel_init=trunc_init, name="proj")(x)
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn")(x)
+        return nn.relu(x)
+
+
+class MumpyDecoder(nn.Module):
+    """Fuses the 4-scale view pyramid, global features, and frequency gates into a
+    full-resolution logit mask (``decoder.py:183-225``)."""
+
+    cfg: MumpyConfig
+
+    @nn.compact
+    def __call__(self, x, view_x: List[List[jnp.ndarray]], ffinfo):
+        cfg = self.cfg
+        nc = cfg.decoder_num_classes
+        k2 = cfg.decoder_dap_k**2
+        feats = cfg.decoder_features
+        tdims = cfg.input_token_temporal_dims
+        shapes = cfg.stage_shapes
+
+        rgb = []
+        for s in range(4):
+            merged = merge_views_along_channel_axis(view_x[s], tdims)
+            rgb.append(
+                TemporalSqueeze(feats[s], shapes[s], name=f"rgb_decoder_{s + 1}")(merged)
+            )
+        rgb1, rgb2, rgb3, rgb4 = rgb
+
+        freq0 = FreqGate(nc * k2, name="decoder_frequency_0")(ffinfo)
+        freq1 = FreqGate(nc * k2, name="decoder_frequency_1")(freq0)
+        freq2 = FreqGate(nc * k2, name="decoder_frequency_2")(freq1)
+        freq3 = FreqGate(nc, groups=4, name="decoder_frequency_3")(freq2)
+        freq4 = FreqGate(nc * k2, name="decoder_frequency_4")(freq3)
+
+        gcn0 = GlobalConvModule(nc * 4, cfg.decoder_kernel_size, name="gcm1")(
+            jnp.concatenate([rgb4, x], axis=-1)
+        )
+        out1 = pixel_shuffle(gcn0 * freq4, 2)  # ECRE (``:205``)
+
+        seb1 = SEB(feats[-2], name="seb1")(rgb3, rgb4)
+        gcn1 = GlobalConvModule(nc, cfg.decoder_kernel_size, name="gcm2")(seb1)
+
+        seb2 = SEB(feats[-3], name="seb2")(
+            rgb2, jnp.concatenate([rgb3, upsample_2d(rgb4, 2, False)], axis=-1)
+        )
+        gcn2 = GlobalConvModule(nc * k2, cfg.decoder_kernel_size, name="gcm3")(seb2)
+
+        seb3 = SEB(feats[-4], name="seb3")(
+            rgb1,
+            jnp.concatenate(
+                [rgb2, upsample_2d(rgb3, 2, False), upsample_2d(rgb4, 4, False)], axis=-1
+            ),
+        )
+        gcn3 = GlobalConvModule(nc * k2, cfg.decoder_kernel_size, name="gcm4")(seb3)
+
+        y = ConvGNReLUUp(nc * k2, name="decoder_2")(gcn1 * freq3 + out1)
+        y = ConvGNReLUUp(nc * k2, name="decoder_3")(y + gcn2 * freq2)
+        y = ConvGNReLUUp(nc * k2, name="decoder_4")(y + gcn3 * freq1)
+        y = ConvGNReLUUp(nc * k2, name="decoder_5")(y * freq0)
+        y = avg_pool_2d(pixel_shuffle(y, cfg.decoder_dap_k), cfg.decoder_dap_k)  # DAP
+        logits = nn.Conv(1, (3, 3), padding=1, name="final_out")(y)
+        return logits, y

@@ -1,0 +1,129 @@
+"""Window-based deformable cross-view attention (CVA).
+
+TPU-native counterpart of ``SwinDAttention`` (``models/modules/deformableAttention.py:
+218-405``).  Per window: queries come from view_i, a grouped depthwise conv on the
+queries predicts 2-D offsets, the partner view's window is bilinearly sampled at
+reference+offset positions (``:353-358``), and standard attention runs between the
+49 query tokens and the 49 sampled key/value tokens.  The bilinear sampling uses the
+matmul-form :func:`grid_sample_bilinear` so everything stays on the MXU.
+
+Faithfully reproduced quirks of the reference:
+
+* queries are tiled ``ratio`` times (``:330``) so each query window attends to each of
+  the partner's temporally-folded windows; outputs are summed back over the ratio
+  axis with the ``(b t)`` = ``b * ratio + t`` decomposition (``:394-395``).
+* ``proj_out`` is zero-initialised (``:308-309``) so CVA starts as an identity
+  residual branch.
+* offsets are ``tanh``-bounded to ``offset_range_factor / grid_size`` (``:338-340``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample_bilinear
+from .swin import drop_path, gelu, trunc_init
+
+
+def _reference_points(h: int, w: int) -> np.ndarray:
+    """Normalized (y, x) cell-center grid in [-1, 1] (``deformableAttention.py:311-322``)."""
+    ys = (np.linspace(0.5, h - 0.5, h) / h) * 2 - 1
+    xs = (np.linspace(0.5, w - 0.5, w) / w) * 2 - 1
+    ref = np.stack(np.meshgrid(ys, xs, indexing="ij"), axis=-1)  # (h, w, 2) = (y, x)
+    return ref.astype(np.float32)
+
+
+class SwinDAttention(nn.Module):
+    """Deformable cross-attention between two stacks of equal-size windows."""
+
+    dim: int
+    num_heads: int
+    n_groups: int = 3
+    window: int = 7
+    offset_range_factor: float = 2.0
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        """x1: (B1, N, C) query windows; x2: (B2, N, C) key windows, B2 = ratio*B1."""
+        ws = self.window
+        b1, n, c = x1.shape
+        b2 = x2.shape[0]
+        ratio = b2 // b1
+        g = self.n_groups
+        gc = c // g
+        h = self.num_heads
+        hd = c // h
+
+        # tile queries: x1r[k] = x1[k % B1] (torch ``repeat`` order, ``:330``)
+        x1r = jnp.tile(x1, (ratio, 1, 1))
+
+        q = nn.Dense(c, kernel_init=trunc_init, name="proj_q")(x1r)  # 1x1 conv == dense
+
+        # ---- offset prediction on grouped queries ----
+        q_sp = q.reshape(b2, ws, ws, g, gc).transpose(0, 3, 1, 2, 4).reshape(b2 * g, ws, ws, gc)
+        off = nn.Conv(
+            gc, (5, 5), padding=2, feature_group_count=gc, kernel_init=trunc_init,
+            name="offset_dwconv",
+        )(q_sp)
+        off = nn.LayerNorm(epsilon=1e-5, name="offset_norm")(off)
+        off = gelu(off)
+        off = nn.Conv(2, (1, 1), use_bias=False, kernel_init=trunc_init, name="offset_proj")(off)
+        if self.offset_range_factor > 0:
+            rng_scale = jnp.asarray([1.0 / ws, 1.0 / ws], dtype=off.dtype)
+            off = jnp.tanh(off) * rng_scale * self.offset_range_factor
+
+        pos = off + jnp.asarray(_reference_points(ws, ws))  # (B2*g, ws, ws, 2) (y, x)
+        grid = pos[..., ::-1].reshape(b2 * g, n, 2)  # -> (x, y) order
+
+        # ---- sample the partner view per offset group ----
+        x2_sp = x2.reshape(b2, ws, ws, g, gc).transpose(0, 3, 1, 2, 4).reshape(b2 * g, ws, ws, gc)
+        sampled = grid_sample_bilinear(x2_sp, grid)  # (B2*g, N, gc)
+        sampled = sampled.reshape(b2, g, n, gc).transpose(0, 2, 1, 3).reshape(b2, n, c)
+
+        k = nn.Dense(c, kernel_init=trunc_init, name="proj_k")(sampled)
+        v = nn.Dense(c, kernel_init=trunc_init, name="proj_v")(sampled)
+
+        qh = q.reshape(b2, n, h, hd)
+        kh = k.reshape(b2, n, h, hd)
+        vh = v.reshape(b2, n, h, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b2, n, c)
+
+        # fold the ratio axis back: k = b*ratio + t, summed over t (``:394-395``)
+        out = out.reshape(b1, ratio, n, c).sum(axis=1)
+        out = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="proj_out",
+        )(out)
+        out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
+        return out
+
+
+class CVAModule(nn.Module):
+    """CVA residual wrapper (``multiTemporalViewEncoder.py:127-139``).
+
+    Parameters of this module live under a path containing ``cva`` — the trainer's
+    learning-rate group split keys on that substring exactly like the reference's
+    optimizer partition (``train.py:205-209``).
+    """
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        y = SwinDAttention(
+            self.dim, self.num_heads, n_groups=3, window=self.window,
+            attn_drop=self.attn_drop, name="crossattn",
+        )(x1, x2, deterministic)
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        return x1 + drop_path(y, self.drop_path_rate, deterministic, rng)

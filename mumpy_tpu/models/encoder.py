@@ -1,0 +1,261 @@
+"""Multilateral temporal-view pyramid encoder (TPU-native).
+
+Re-design of ``models/encoder/multiTemporalViewEncoder.py``:
+
+* the three 3D-conv tokenizers (``:574-618``) are expressed as patch-extraction
+  reshapes + one dense matmul each (stride == kernel makes conv3d a pure patchify),
+  which XLA tiles straight onto the MXU;
+* the size-1 ``functorch.vmap`` over the aligned temporal axis (``:737``) is a
+  squeeze — stages operate on (B, L, C) tokens directly;
+* the global temporal ViT vmapped over 49 spatial tokens (``:741``) folds tokens into
+  the batch axis — one big batched matmul instead of 49 tiny ones;
+* cross-view information flows view3 -> view2 -> view1 through window-based
+  deformable CVA at the first block of every stage (``:294-350``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.model_config import MumpyConfig, ViewConfig
+from ..ops.dct import faf
+from ..ops.window import window_partition
+from .deformable import CVAModule
+from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
+                   drop_path, trunc_init, window_attend)
+
+
+class PatchEmbed3D(nn.Module):
+    """Conv3d(kernel=stride=(t, p, p)) patchify as reshape+matmul
+    (``multiTemporalViewEncoder.py:574-618``).
+
+    Input (B, T, H, W, 3) -> tokens (B, T', H/p * W/p, C); patch channel order is
+    (t, c, ph, pw) to match the torch conv weight layout for porting.
+    """
+
+    hidden: int
+    patch: Tuple[int, int, int]  # (ph, pw, pt)
+
+    @nn.compact
+    def __call__(self, x):
+        ph, pw, pt = self.patch
+        b, t, h, w, c = x.shape
+        to = t // pt
+        # conv3d valid-stride semantics: frames beyond to*pt are dropped
+        # (e.g. view2's stride-2 kernel sees frames [0,1] only of a 3-frame clip)
+        x = x[:, : to * pt]
+        x = x.reshape(b, to, pt, h // ph, ph, w // pw, pw, c)
+        # flatten patch dims in torch Conv3d weight order (c_in, t, ph, pw)
+        x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)  # b, to, h', w', c, pt, ph, pw
+        x = x.reshape(b, to, (h // ph) * (w // pw), c * pt * ph * pw)
+        x = nn.Dense(self.hidden, kernel_init=trunc_init, name="proj")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+
+class CrossSwinBlock(nn.Module):
+    """W-MSA + (optionally) deformable cross-view attention + MLP
+    (``multiTemporalViewEncoder.py:142-291``).
+
+    Returns ``(x1_new, out)`` where ``out`` is the raw W-MSA output passed as the
+    partner stream to the next view in the chain (``:275,345-349``).
+    """
+
+    dim1: int
+    dim2: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    last_view: bool = False
+    temporal_dims: int = 1  # temporal fold of the *partner* (x2) stream
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        h, w = self.input_resolution
+        window = self.window_size
+        if min(h, w) <= window:
+            window = min(h, w)
+        b1, l1, c1 = x1.shape
+        t1 = l1 // (h * w)
+
+        shortcut = x1
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x1)
+        attn = WindowAttention(
+            self.dim1, (window, window), self.num_heads,
+            attn_drop=self.attn_drop, proj_drop=self.drop, name="attn",
+        )
+        y = window_attend(attn, y, (t1 * h, w), window, 0, deterministic)
+        out = y
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        x1 = shortcut + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+        if not self.last_view:
+            b2, l2, c2 = x2.shape
+            t2 = l2 // (h * w)
+            x1w = window_partition(x1.reshape(b1, t1 * h, w, c1), window)
+            x1w = x1w.reshape(-1, window * window, c1)
+            x2w = window_partition(x2.reshape(b2, t2 * h, w, c2), window)
+            x2w = x2w.reshape(-1, window * window, c2)
+            x2w = nn.Dense(self.dim1, kernel_init=trunc_init, name="pre")(x2w)
+            yw = CVAModule(
+                self.dim1, self.num_heads, window=window,
+                attn_drop=self.attn_drop, drop_path_rate=self.drop_path_rate, name="cva",
+            )(x1w, x2w, deterministic)
+            # '(b n) ws c -> b (n ws) c' with b = B1  (``:285``)
+            y = yw.reshape(b1, -1, c1)
+            rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+            x1 = x1 + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+        y = Mlp(int(self.dim1 * self.mlp_ratio), self.dim1, self.drop, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x1), deterministic
+        )
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        return x1 + drop_path(y, self.drop_path_rate, deterministic, rng), out
+
+
+class ThreeViewStages(nn.Module):
+    """The 4-stage cross-view pyramid (``multiTemporalViewEncoder.py:489-571``).
+
+    Returns the final view tokens plus, per stage, the three views' tokens after the
+    stage's last block (pre-downsample) for the decoder skip path (``:531-538``).
+    """
+
+    cfg: MumpyConfig
+
+    @nn.compact
+    def __call__(self, views: List[jnp.ndarray], deterministic: bool = True):
+        cfg = self.cfg
+        vcfgs = cfg.views
+        depths = vcfgs[2].depths  # max depths drive the stage length (``:542``)
+        total_depth = sum(depths)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, total_depth)
+
+        stage_outputs = []
+        x = list(views)
+        for s in range(4):
+            res = vcfgs[0].input_resolution[s]
+            for i in range(depths[s]):
+                dp = float(dpr[sum(depths[:s]) + i])
+                if i == 0:
+                    # CVA chain: view3 -> view2 -> view1 (``:345-349``)
+                    blk3 = CrossSwinBlock(
+                        vcfgs[2].hidden_size[s], vcfgs[2].hidden_size[s], res,
+                        vcfgs[2].num_heads[s], window_size=vcfgs[2].window_size,
+                        drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                        drop_path_rate=dp, last_view=True, temporal_dims=3,
+                        name=f"stage{s}_cross_view3",
+                    )
+                    blk2 = CrossSwinBlock(
+                        vcfgs[1].hidden_size[s], vcfgs[2].hidden_size[s], res,
+                        vcfgs[1].num_heads[s], window_size=vcfgs[1].window_size,
+                        drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                        drop_path_rate=dp, temporal_dims=1,
+                        name=f"stage{s}_cross_view2",
+                    )
+                    blk1 = CrossSwinBlock(
+                        vcfgs[0].hidden_size[s], vcfgs[1].hidden_size[s], res,
+                        vcfgs[0].num_heads[s], window_size=vcfgs[0].window_size,
+                        drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                        drop_path_rate=dp, temporal_dims=1,
+                        name=f"stage{s}_cross_view1",
+                    )
+                    x[2], out2 = blk3(x[2], x[2], deterministic)
+                    x[1], out1 = blk2(x[1], out2, deterministic)
+                    x[0], _ = blk1(x[0], out1, deterministic)
+                else:
+                    for v in range(3):
+                        if i < vcfgs[v].depths[s]:
+                            x[v] = SwinBlock(
+                                vcfgs[v].hidden_size[s], res, vcfgs[v].num_heads[s],
+                                window_size=vcfgs[v].window_size,
+                                # NOTE reference quirk: shift uses *view1's* window
+                                # size for every view (``multiTemporalViewEncoder.py
+                                # :407,421,435`` uses view_configs[0] for views 1-2)
+                                shift_size=0 if i % 2 == 0 else vcfgs[0].window_size // 2,
+                                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                                drop_path_rate=dp, temporal_dim=vcfgs[v].temporal_dim,
+                                name=f"stage{s}_block{i}_view{v + 1}",
+                            )(x[v], deterministic)
+            stage_outputs.append(list(x))
+            if s < 3:
+                for v in range(3):
+                    grid = (vcfgs[v].temporal_dim * res[0], res[1])
+                    x[v] = PatchMerging(
+                        vcfgs[v].hidden_size[s], grid, name=f"stage{s}_merge_view{v + 1}"
+                    )(x[v])
+        return x, stage_outputs
+
+
+def merge_views_along_channel_axis(
+    tokens: List[jnp.ndarray], temporal_dims: Tuple[int, ...]
+) -> jnp.ndarray:
+    """(B, T_i * n, C_i) or (B, T_i, n, C_i) views -> (B, maxT, n, sum C_i)
+    (``multiTemporalViewEncoder.py:710-718``)."""
+    max_t = max(temporal_dims)
+    xs = []
+    for t_dim, x in zip(temporal_dims, tokens):
+        if x.ndim == 3:
+            b, l, c = x.shape
+            x = x.reshape(b, t_dim, l // t_dim, c)
+        else:
+            b, tt, n, c = x.shape
+            x = x.reshape(b, t_dim, (tt * n) // t_dim, c)
+        xs.append(jnp.tile(x, (1, max_t // x.shape[1], 1, 1)))
+    return jnp.concatenate(xs, axis=-1)
+
+
+class MumpyEncoder(nn.Module):
+    """Full encoder: FAF + tokenize + stages + global temporal ViT
+    (``multiTemporalViewEncoder.py:672-746``, wrapper ``models/encoder/encoder.py:6-18``).
+
+    Input: clip (B, T, H, W, 3) normalized.
+    Returns: feats (B, 7, 7, 2304)-like, per-stage view tokens, ffinfo (B, H, W, 9).
+    """
+
+    cfg: MumpyConfig
+
+    @nn.compact
+    def __call__(self, clip, deterministic: bool = True):
+        cfg = self.cfg
+        # frequency branch on the center frame (``:734`` selects frame index 1)
+        ffinfo = faf(clip[:, 1])
+
+        views = []
+        for v, vc in enumerate(cfg.views):
+            tok = PatchEmbed3D(vc.hidden_size[0], vc.patch_size, name=f"tokenize_view{v + 1}")(clip)
+            # align temporal dim: fold time into tokens (``:701-708``)
+            b, t, n, c = tok.shape
+            views.append(tok.reshape(b, t * n, c))
+
+        x, stage_outputs = ThreeViewStages(cfg, name="stages")(views, deterministic)
+
+        merged = merge_views_along_channel_axis(x, cfg.input_token_temporal_dims)
+        merged = nn.Dense(
+            cfg.global_encoder.hidden_size, kernel_init=trunc_init, name="globalembedding"
+        )(merged)  # (B, maxT, n, 768)
+
+        b, t, n, c = merged.shape
+        # vmap over spatial tokens == fold tokens into batch (``:741``)
+        g = merged.transpose(0, 2, 1, 3).reshape(b * n, t, c)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.global_encoder.num_layers)
+        for i in range(cfg.global_encoder.num_layers):
+            g = VitBlock(
+                c, cfg.global_encoder.num_heads, cfg.global_encoder.mlp_dim,
+                drop=cfg.drop_rate, drop_path_rate=float(dpr[i]), name=f"global_block{i}",
+            )(g, deterministic)
+        g = g.reshape(b, n, t, c)
+        # concat temporal slices along channels (``:745``)
+        g = g.transpose(0, 2, 1, 3)  # (B, T, n, C)
+        feats = jnp.concatenate([g[:, i] for i in range(t)], axis=-1)  # (B, n, T*C)
+
+        # tokens -> spatial map (``models/encoder/encoder.py:16-17``)
+        side = cfg.views[0].input_resolution[-1][0]
+        feats = feats.reshape(b, side, side, t * c)
+        return feats, stage_outputs, ffinfo

@@ -1,0 +1,244 @@
+"""Swin transformer building blocks (flax, channels-last, static shapes).
+
+TPU-native re-design of the reference's ``models/modules/swinTransformer.py``:
+
+* window partition/reverse are free reshapes; the (T*H, W) temporal folding of the
+  reference (``swinTransformer.py:267,294-299``) is kept — window attention runs over
+  the folded space-time grid.
+* attention is computed batched over all windows with einsums that XLA maps onto the
+  MXU; the relative-position bias is gathered once per call from a static index.
+* shifted windows use ``jnp.roll`` + a precomputed additive mask
+  (``swinTransformer.py:233-254`` semantics).
+
+All LayerNorms use eps=1e-5 and GELU is the exact (erf) variant to match torch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.window import shifted_window_mask, window_partition, window_reverse
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+gelu = functools.partial(nn.gelu, approximate=False)
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return x * mask.astype(x.dtype) / keep
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Static (wh*ww, wh*ww) index into the (2wh-1)(2ww-1) bias table
+    (``swinTransformer.py:113-123``)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, kernel_init=trunc_init, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, kernel_init=trunc_init, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (``swinTransformer.py:86-166``).
+
+    Operates on windows shaped (B_, N, C) where N = wh*ww.
+    """
+
+    dim: int
+    window: Tuple[int, int]
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        scale = hd**-0.5
+
+        qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, hd)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+
+        wh, ww = self.window
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * wh - 1) * (2 * ww - 1), h),
+        )
+        idx = jnp.asarray(relative_position_index(wh, ww))
+        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(b, h, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        out = nn.Dense(c, kernel_init=trunc_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+def window_attend(
+    attn_mod: WindowAttention,
+    x: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    window: int,
+    shift: int,
+    deterministic: bool,
+) -> jnp.ndarray:
+    """Apply (shifted-)window attention to tokens (B, L, C) over a folded grid.
+
+    ``grid_hw`` is the (T*H, W) grid the tokens occupy.  Returns (B, L, C).
+    """
+    gh, gw = grid_hw
+    b, l, c = x.shape
+    assert l == gh * gw, f"tokens {l} != grid {gh}x{gw}"
+    xs = x.reshape(b, gh, gw, c)
+    if shift > 0:
+        xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+        mask = shifted_window_mask(gh, gw, window, shift)
+    else:
+        mask = None
+    wins = window_partition(xs, window).reshape(-1, window * window, c)
+    wins = attn_mod(wins, mask=mask, deterministic=deterministic)
+    xs = window_reverse(wins.reshape(-1, window, window, c), window, gh, gw)
+    if shift > 0:
+        xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
+    return xs.reshape(b, l, c)
+
+
+class SwinBlock(nn.Module):
+    """Standard Swin block with temporal-folded grid (``swinTransformer.py:185-307``)."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    temporal_dim: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h, w = self.input_resolution
+        window = self.window_size
+        shift = self.shift_size
+        if min(h, w) <= window:
+            window = min(h, w)
+            shift = 0
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        attn = WindowAttention(
+            self.dim, (window, window), self.num_heads,
+            attn_drop=self.attn_drop, proj_drop=self.drop, name="attn",
+        )
+        y = window_attend(attn, y, (self.temporal_dim * h, w), window, shift, deterministic)
+
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        x = shortcut + drop_path(y, self.drop_path_rate, deterministic, rng)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
+        )
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch merging over a (possibly temporally folded) grid
+    (``swinTransformer.py:328-367``, ``ThreeViewPatchMerging`` at ``:637-657``).
+
+    The folded grid (T*H, W) is merged with stride 2 in both axes; frame rows stay
+    aligned because every per-frame height is even.
+    """
+
+    dim: int
+    grid_hw: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        gh, gw = self.grid_hw
+        b, l, c = x.shape
+        assert l == gh * gw and gh % 2 == 0 and gw % 2 == 0
+        xs = x.reshape(b, gh // 2, 2, gw // 2, 2, c)
+        # torch concat order: x0=(0,0) x1=(1,0) x2=(0,1) x3=(1,1) along channels
+        xs = jnp.concatenate(
+            [xs[:, :, 0, :, 0], xs[:, :, 1, :, 0], xs[:, :, 0, :, 1], xs[:, :, 1, :, 1]],
+            axis=-1,
+        )
+        xs = xs.reshape(b, (gh // 2) * (gw // 2), 4 * c)
+        xs = nn.LayerNorm(epsilon=1e-5, name="norm")(xs)
+        return nn.Dense(2 * self.dim, use_bias=False, kernel_init=trunc_init, name="reduction")(xs)
+
+
+class VitBlock(nn.Module):
+    """Pre-LN ViT block (``models/modules/blocks.py:77-92``)."""
+
+    dim: int
+    num_heads: int
+    mlp_dim: int
+    drop: float = 0.0
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(y).reshape(b, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k), axis=-1)
+        attn = nn.Dropout(self.drop)(attn, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        y = nn.Dense(c, kernel_init=trunc_init, name="proj")(y)
+        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        y = Mlp(self.mlp_dim, c, self.drop, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
+        )
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
