@@ -1,0 +1,186 @@
+"""Clip dataset: sliding-window clip index + multilateral frame loading.
+
+Counterpart of ``dataloaders/universaldataloader.py`` + ``universaldataset.py``:
+
+* one clip per frame — a centered window of ``length_clip`` frame indices clamped at
+  the sequence edges (``universaldataloader.py:41-48``);
+* each clip is loaded from 1-3 inpainting-stream roots (the same frames rendered by
+  different inpainting methods, ``universaldataset.py:58-61``), resized to 224^2 and
+  normalized with the reference's mean/std (``train.py:49-55``);
+* the target is the center frame's annotation binarized (annot > 0) and flattened
+  (``universaldataset.py:141-144``);
+* train batches concatenate the streams along the batch axis with duplicated masks
+  (``universaldataset.py:146-203``); test yields the primary stream only.
+
+Everything is host-side numpy/PIL; batches are fed to the device as channels-last
+(B, T, H, W, 3) float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..configs.data_config import MEAN, STD, DataConfig
+from .augment import clip_augment
+from .db import SequenceInfo, read_sequences
+
+
+@dataclasses.dataclass(frozen=True)
+class Clip:
+    seq_name: str
+    frame_files: Tuple[str, ...]  # basenames of the clip's frames (with ext)
+    starting_frame: int  # center-frame number (test naming, ``universaldataset.py:50``)
+
+
+def list_frames(seq_dir: str, ext: str) -> List[str]:
+    files = sorted(glob.glob(os.path.join(seq_dir, f"*.{ext}")))
+    if not files:  # tolerate mixed extensions
+        files = sorted(
+            f for e in ("png", "jpg") for f in glob.glob(os.path.join(seq_dir, f"*.{e}"))
+        )
+    return files
+
+
+def build_clips(cfg: DataConfig, split: str) -> List[Clip]:
+    """Sliding centered windows with edge clamping (``universaldataloader.py:41-48``)."""
+    phase = split
+    seqs = read_sequences(cfg.dataset, cfg.sequences, cfg.db_info, cfg.year, phase)
+    k = cfg.length_clip // 2
+    clips: List[Clip] = []
+    for s in seqs:
+        files = list_frames(os.path.join(cfg.sequences, s.name), cfg.frame_ext)
+        n = len(files)
+        if n == 0:
+            continue
+        basenames = [os.path.basename(f) for f in files]
+        for idx in range(n):
+            ids = [max(0, min(n - 1, i)) for i in range(idx - k, idx + k + 1)]
+            center = ids[cfg.length_clip // 2]
+            frame_no = int(
+                os.path.splitext(basenames[center])[0].replace("frame_", "")
+            )
+            clips.append(Clip(s.name, tuple(basenames[i] for i in ids), frame_no))
+    return clips
+
+
+def _load_frame(path: str, size: Tuple[int, int]) -> np.ndarray:
+    img = Image.open(path).convert("RGB").resize(size)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _load_annot(path: str, size: Tuple[int, int]) -> np.ndarray:
+    annot = Image.open(path).convert("L").resize(size)
+    return np.asarray(annot, dtype=np.float32)
+
+
+def normalize(frames_u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC frames -> float32 normalized (``train.py:49-55``)."""
+    x = frames_u8.astype(np.float32) / 255.0
+    return (x - np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+
+
+def binarize_mask(annot: np.ndarray) -> np.ndarray:
+    """annot/max > 0 -> {0,1} (``universaldataset.py:141-144``)."""
+    m = annot / max(float(annot.max()), 1e-8)
+    return (m > 0).astype(np.float32)
+
+
+class ClipDataset:
+    """Indexable clip dataset over 1-3 inpainting streams."""
+
+    def __init__(self, cfg: DataConfig, split: str):
+        self.cfg = cfg
+        self.split = split
+        self.clips = build_clips(cfg, split)
+        self.stream_roots = [r for r in (cfg.sequences, cfg.sequences2, cfg.sequences3) if r]
+        if split == "test":
+            self.stream_roots = self.stream_roots[:1]
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def load_clip(self, i: int, rng: Optional[np.random.Generator] = None):
+        """Returns (streams: [S](T,H,W,3) float32 normalized, mask: (H*W,) float32,
+        seq_name, starting_frame)."""
+        cfg = self.cfg
+        clip = self.clips[i]
+        res = cfg.input_res
+
+        raw_streams: List[List[np.ndarray]] = []
+        for root in self.stream_roots:
+            frames = [
+                _load_frame(os.path.join(root, clip.seq_name, f), res)
+                for f in clip.frame_files
+            ]
+            raw_streams.append(frames)
+
+        center = clip.frame_files[cfg.length_clip // 2]
+        annot_path = os.path.join(
+            cfg.annotations, clip.seq_name, os.path.splitext(center)[0] + ".png"
+        )
+        annot = _load_annot(annot_path, res)
+
+        if self.split == "train" and cfg.augment and rng is not None:
+            raw_streams, annot = clip_augment(raw_streams, annot, rng)
+
+        streams = [normalize(np.stack(f, axis=0)) for f in raw_streams]
+        mask = binarize_mask(annot).reshape(-1)
+        return streams, mask, clip.seq_name, clip.starting_frame
+
+
+def multilateral_collate(samples: Sequence) -> Dict[str, np.ndarray]:
+    """Concatenate streams along batch with duplicated masks
+    (``universaldataset.py:146-203``): images (S*B, T, H, W, 3), masks (S*B, H*W)."""
+    n_streams = len(samples[0][0])
+    images = np.concatenate(
+        [np.stack([s[0][j] for s in samples], axis=0) for j in range(n_streams)], axis=0
+    )
+    masks = np.stack([s[1] for s in samples], axis=0)
+    masks = np.concatenate([masks] * n_streams, axis=0)
+    return {"image": images.astype(np.float32), "mask": masks.astype(np.float32)}
+
+
+class DataLoader:
+    """Minimal host-side batching loader with shuffling and drop_last (train)."""
+
+    def __init__(self, dataset: ClipDataset, batch_size: int, shuffle: bool,
+                 drop_last: bool, seed: int = 0):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        bs = self.batch_size
+        end = len(order) - (len(order) % bs) if self.drop_last else len(order)
+        for start in range(0, end, bs):
+            idx = order[start : start + bs]
+            if self.drop_last and len(idx) < bs:
+                break
+            samples = [self.ds.load_clip(int(i), rng) for i in idx]
+            if self.ds.split == "test":
+                yield {
+                    "image": np.stack([s[0][0] for s in samples]).astype(np.float32),
+                    "mask": np.stack([s[1] for s in samples]).astype(np.float32),
+                    "seq_name": [s[2] for s in samples],
+                    "starting_frame": [s[3] for s in samples],
+                }
+            else:
+                yield multilateral_collate(samples)

@@ -1,0 +1,222 @@
+"""Training driver: jitted sharded train/val steps + the reference's epoch loop.
+
+Counterpart of ``train.py:94-467``: per-step loss = mean softIoU + mean focal
+(``train.py:107-113``), three LR groups with per-iteration polynomial decay,
+gradient accumulation, per-epoch validation, best-checkpoint/patience bookkeeping
+(``train.py:437-466``) including the patience-triggered best-checkpoint reload
+(``train.py:449-459``).
+
+TPU design: one jitted train step over a 1-axis data mesh; the batch (already
+stream-concatenated by the data pipeline) is sharded on its leading axis and the
+gradient all-reduce is XLA's.  Donated state keeps HBM flat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..configs.model_config import MumpyConfig
+from ..models.mumpy import Mumpy
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from . import checkpoint as ckpt_lib
+from .losses import total_loss
+from .optim import OptimConfig, build_optimizer, current_lrs
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    model_name: str = "mumpy"
+    results_dir: str = "results"
+    max_epoch: int = 100
+    accumulation_steps: int = 1
+    patience: int = 15
+    min_delta: float = 0.0
+    best_val_loss: float = 1000.0
+    smooth_curves: bool = True
+    print_every: int = 10
+    seed: int = 282845927  # reference default (``args.py``)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(
+    cfg: MumpyConfig, opt_cfg: OptimConfig, iter_max: int, rng: jax.Array,
+    batch_example: Optional[jnp.ndarray] = None,
+) -> TrainState:
+    model = Mumpy(cfg)
+    if batch_example is None:
+        batch_example = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = model.init(rng, batch_example)["params"]
+    tx = build_optimizer(params, opt_cfg, iter_max)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def _loss_for_batch(apply_fn, params, batch, rng, deterministic):
+    logits = apply_fn(
+        {"params": params}, batch["image"],
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": rng},
+    )
+    b = logits.shape[0]
+    loss, (iou, foc) = total_loss(batch["mask"].reshape(b, -1), logits.reshape(b, -1))
+    return loss, (iou, foc)
+
+
+def train_step(state: TrainState, batch, rng):
+    """One optimization step.  ``batch['image']``: (kB, T, H, W, 3); ``batch['mask']``:
+    (kB, H*W) duplicated per inpainting stream by the collate (``universaldataset.py:
+    146-203``)."""
+    rng = jax.random.fold_in(rng, state.step)
+    grad_fn = jax.value_and_grad(
+        lambda p: _loss_for_batch(state.apply_fn, p, batch, rng, False), has_aux=True
+    )
+    (loss, (iou, foc)), grads = grad_fn(state.params)
+    state = state.apply_gradients(grads=grads)
+    return state, {"total": loss, "iou": iou, "focal": foc}
+
+
+def val_step(state: TrainState, batch):
+    loss, (iou, foc) = _loss_for_batch(state.apply_fn, state.params, batch, None, True)
+    return {"total": loss, "iou": iou, "focal": foc}
+
+
+def make_jitted_steps(mesh=None):
+    """jit train/val steps with data-sharded batches and replicated state."""
+    mesh = mesh or make_mesh()
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+    jtrain = jax.jit(
+        train_step,
+        in_shardings=(rsh, {"image": bsh, "mask": bsh}, rsh),
+        out_shardings=(rsh, rsh),
+        donate_argnums=(0,),
+    )
+    jval = jax.jit(
+        val_step,
+        in_shardings=(rsh, {"image": bsh, "mask": bsh}),
+        out_shardings=rsh,
+    )
+    return mesh, jtrain, jval
+
+
+class MetricsWriter:
+    """JSONL metrics + optional tensorboardX scalars (``train.py:315,349-391``)."""
+
+    def __init__(self, model_dir: str, use_tensorboard: bool = True):
+        os.makedirs(model_dir, exist_ok=True)
+        self.path = os.path.join(model_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(model_dir)
+            except Exception:
+                self.tb = None
+
+    def write(self, step: int, split: str, scalars: dict):
+        rec = {"step": step, "split": split, **{k: float(v) for k, v in scalars.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(f"{split}/{k}", float(v), step)
+
+    def close(self):
+        self._f.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def train_loop(
+    state: TrainState,
+    loaders: dict,
+    loop_cfg: TrainLoopConfig,
+    opt_cfg: OptimConfig,
+    iter_max: int,
+    mesh=None,
+    max_steps_per_epoch: Optional[int] = None,
+) -> TrainState:
+    """The reference's epoch loop (``train.py:321-466``) on jitted sharded steps.
+
+    ``loaders`` maps split -> callable returning an iterator of host batches
+    (dicts with numpy 'image'/'mask').
+    """
+    mesh, jtrain, jval = make_jitted_steps(mesh)
+    from ..parallel.mesh import shard_batch
+
+    model_dir = os.path.join(loop_cfg.results_dir, loop_cfg.model_name)
+    writer = MetricsWriter(model_dir)
+    rng = jax.random.PRNGKey(loop_cfg.seed)
+
+    best_val_loss = loop_cfg.best_val_loss
+    acc_patience = 0
+    mt_val = -1.0
+    tstep = 0
+    t0 = time.time()
+
+    for e in range(loop_cfg.max_epoch):
+        epoch_losses = {"train": [], "val": []}
+        for split in ("train", "val"):
+            for i, batch in enumerate(loaders[split]()):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                batch = shard_batch(batch, mesh)
+                if split == "train":
+                    state, m = jtrain(state, batch, rng)
+                    writer.write(tstep, "train", {k: v for k, v in m.items()})
+                    writer.write(tstep, "lr", current_lrs(tstep, opt_cfg, iter_max))
+                    tstep += 1
+                else:
+                    m = jval(state, batch)
+                epoch_losses[split].append(float(m["total"]))
+                if (i + 1) % loop_cfg.print_every == 0:
+                    print(
+                        f"epoch {e} {split} iter {i}: total "
+                        f"{np.mean(epoch_losses[split]):.4f} ({time.time() - t0:.1f}s)"
+                    )
+            if not epoch_losses[split]:
+                continue
+            if split == "val" and loop_cfg.smooth_curves:
+                m_now = float(np.mean(epoch_losses["val"]))
+                mt = m_now if mt_val < 0 else 0.9 * mt_val + 0.1 * m_now
+                mt_val = mt
+            else:
+                mt = float(np.mean(epoch_losses[split]))
+            writer.write(e, f"epoch_{split}", {"total": mt})
+            print(f"Epoch {e}: total {mt:.4f} ({split})")
+
+        # best/patience bookkeeping (``train.py:437-466``)
+        if mt < best_val_loss - loop_cfg.min_delta:
+            best_val_loss = mt
+            ckpt_lib.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})
+            acc_patience = 0
+        else:
+            acc_patience += 1
+            if acc_patience > loop_cfg.patience:
+                # reload best checkpoint and keep going (``train.py:449-459``)
+                restored = ckpt_lib.load_latest(model_dir, state)
+                if restored is not None:
+                    state = restored
+                acc_patience = 0
+                best_val_loss = 1000.0
+                mt_val = -1.0
+        if e == loop_cfg.max_epoch // 2 - 1 or e == loop_cfg.max_epoch - 1:
+            ckpt_lib.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})
+
+    writer.close()
+    return state

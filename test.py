@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Inference entry point: generate localization masks (reference ``test.py``).
+
+Loads a checkpoint, runs the jitted forward over the test split (single stream,
+batch 1 by default), thresholds sigmoid at 0.5 and writes
+``{frame:04d}_instance_00.png`` (0/255) under
+``<results>/<model_name>/masks_<dataset>/<seq>/`` (``test.py:100-111``).
+
+Unlike the reference (which forgets ``torch.no_grad``, ``test.py:77-111``), the
+forward here is a jitted inference-only function.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from mumpy_tpu.configs.args import build_configs, get_parser
+from mumpy_tpu.configs.model_config import multiswin_config, tiny_config
+from mumpy_tpu.data.dataset import ClipDataset, DataLoader
+from mumpy_tpu.models.mumpy import Mumpy
+from mumpy_tpu.train import checkpoint as ckpt_lib
+from mumpy_tpu.train.optim import OptimConfig
+from mumpy_tpu.train.trainer import create_train_state
+
+
+def main():
+    parser = get_parser()
+    args = parser.parse_args()
+    data_cfg, opt_cfg, loop_cfg = build_configs(args)
+    model_cfg = tiny_config(args.imsize) if args.tiny else multiswin_config(args.imsize)
+
+    model = Mumpy(model_cfg)
+    state = create_train_state(
+        model_cfg, OptimConfig(), iter_max=1, rng=jax.random.PRNGKey(0)
+    )
+    model_dir = os.path.join(loop_cfg.results_dir, loop_cfg.model_name)
+    restored = (
+        ckpt_lib.load_epoch(model_dir, state, args.test_epoch)
+        if args.test_epoch >= 0 else ckpt_lib.load_latest(model_dir, state)
+    )
+    if restored is not None:
+        state = restored
+        print(f"Loaded checkpoint from {model_dir}")
+    else:
+        print("WARNING: no checkpoint found; using random init")
+    params = state.params
+
+    @jax.jit
+    def forward(clip):
+        logits = model.apply({"params": params}, clip, deterministic=True)
+        return jax.nn.sigmoid(logits)
+
+    ds = ClipDataset(data_cfg, args.eval_split)
+    loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    out_root = os.path.join(model_dir, f"masks_{args.dataset}")
+
+    for batch in loader:
+        probs = np.asarray(forward(jnp.asarray(batch["image"])))  # (1, H, W, 1)
+        mask = (probs[0, :, :, 0] > 0.5).astype(np.uint8) * 255
+        seq = batch["seq_name"][0]
+        frame = batch["starting_frame"][0]
+        seq_dir = os.path.join(out_root, seq)
+        os.makedirs(seq_dir, exist_ok=True)
+        Image.fromarray(mask).save(os.path.join(seq_dir, f"{frame:04d}_instance_00.png"))
+    print(f"Masks written to {out_root}")
+
+
+if __name__ == "__main__":
+    main()

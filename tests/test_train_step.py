@@ -1,0 +1,83 @@
+"""Train-step tests on the virtual 8-device CPU mesh: sharded step runs, loss drops,
+and the three LR groups are labeled like the reference's optimizer split."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mumpy_tpu.configs.model_config import tiny_config
+from mumpy_tpu.parallel.mesh import make_mesh, shard_batch
+from mumpy_tpu.train.optim import OptimConfig, label_params
+from mumpy_tpu.train.trainer import create_train_state, make_jitted_steps
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    opt = OptimConfig(lr=1e-2, lr_cnn=1e-3, lr_cva=1e-2, accumulation_steps=1)
+    state = create_train_state(cfg, opt, iter_max=100, rng=jax.random.PRNGKey(0))
+    return cfg, opt, state
+
+
+def test_label_split(setup):
+    _, _, state = setup
+    labels = label_params(state.params)
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(labels)
+    vals = set(flat.values())
+    assert vals == {"enc", "dec", "cva"}
+    for k, v in flat.items():
+        if any("cva" in p for p in k):
+            assert v == "cva"
+        elif "decoder" in k[:2]:
+            assert v == "dec"
+
+
+def test_sharded_train_step_runs_and_learns(setup):
+    cfg, opt, state = setup
+    assert jax.device_count() == 8, "conftest must provide 8 virtual CPU devices"
+    mesh, jtrain, jval = make_jitted_steps(make_mesh())
+
+    rng = np.random.default_rng(0)
+    kb = 8  # one per device
+    batch = {
+        "image": rng.standard_normal((kb, 3, cfg.image_size, cfg.image_size, 3)).astype(np.float32),
+        "mask": (rng.uniform(size=(kb, cfg.image_size * cfg.image_size)) > 0.8).astype(np.float32),
+    }
+    batch = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+
+    losses = []
+    for _ in range(5):
+        state, m = jtrain(state, batch, key)
+        losses.append(float(m["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss should drop when overfitting one batch: {losses}"
+
+    vm = jval(state, batch)
+    assert np.isfinite(float(vm["total"]))
+
+
+def test_accumulation_steps(setup):
+    cfg, _, _ = setup
+    opt = OptimConfig(accumulation_steps=2)
+    state = create_train_state(cfg, opt, iter_max=100, rng=jax.random.PRNGKey(1))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": rng.standard_normal((2, 3, cfg.image_size, cfg.image_size, 3)).astype(np.float32),
+        "mask": np.zeros((2, cfg.image_size * cfg.image_size), np.float32),
+    }
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    from mumpy_tpu.train.trainer import train_step
+
+    # first micro-step: params unchanged (grads only accumulated)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # second micro-step: update applied
+    state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p2))
