@@ -42,6 +42,7 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["adam", "sgd", "rmsprop"])
     p.add_argument("-weight_decay", dest="weight_decay", default=1e-4, type=float)
     p.add_argument("-weight_decay_cnn", dest="weight_decay_cnn", default=1e-4, type=float)
+    p.add_argument("-momentum", dest="momentum", default=0.9, type=float)
     p.add_argument("-accumulation_steps", dest="accumulation_steps", default=1, type=int)
     p.add_argument("-max_epoch", dest="max_epoch", default=100, type=int)
     p.add_argument("-patience", dest="patience", default=15, type=int)
@@ -54,6 +55,15 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-results_dir", dest="results_dir", default="results")
     p.add_argument("--resume", dest="resume", action="store_true")
     p.add_argument("-epoch_resume", dest="epoch_resume", default=-1, type=int)
+    p.add_argument("--transfer", dest="transfer", action="store_true",
+                   help="warm-start model weights from another run (``train.py:183-188``)")
+    p.add_argument("-transfer_from", dest="transfer_from", default="model")
+    p.add_argument("--smooth_curves", dest="smooth_curves", action="store_true", default=True)
+    p.add_argument("-finetune_after", dest="finetune_after", default=0, type=int,
+                   help="-1 disables the patience-triggered best-checkpoint reload "
+                        "(``train.py:449-459``)")
+    p.add_argument("--update_encoder", dest="update_encoder", action="store_true",
+                   default=True)
     p.add_argument("-test_epoch", dest="test_epoch", default=-1, type=int)
     p.add_argument("-eval_split", dest="eval_split", default="test")
     p.add_argument("-max_steps_per_epoch", dest="max_steps_per_epoch", default=None, type=int)
@@ -88,6 +98,7 @@ def build_configs(args: argparse.Namespace):
         optim=args.optim, optim_cnn=args.optim_cnn,
         lr=args.lr, lr_cnn=args.lr_cnn, lr_cva=args.lr_cva,
         weight_decay=args.weight_decay, weight_decay_cnn=args.weight_decay_cnn,
+        momentum=args.momentum,
         accumulation_steps=args.accumulation_steps,
     )
     loop_cfg = TrainLoopConfig(
@@ -95,6 +106,8 @@ def build_configs(args: argparse.Namespace):
         max_epoch=args.max_epoch, accumulation_steps=args.accumulation_steps,
         patience=args.patience, min_delta=args.min_delta,
         best_val_loss=args.best_val_loss, print_every=args.print_every,
+        smooth_curves=args.smooth_curves,
+        patience_reload=args.finetune_after != -1,
         seed=args.seed,
     )
     return data_cfg, opt_cfg, loop_cfg

@@ -104,16 +104,18 @@ def tiny_config(image_size: int = 32) -> MumpyConfig:
     window_size=4 divides every stage resolution and clamps to min(res) at the
     later stages exactly like the reference (``swinTransformer.py:217-220``).
     Hidden sizes stay divisible by num_heads and by the 3 CVA offset groups.
+    Stage-3 depth 4 exercises the scanned block-pair path (1 pair + 1 trailing
+    shifted block) next to the depth-2 stages' single trailing block.
     """
     res = tuple(
         (image_size // 4 // (2**s), image_size // 4 // (2**s)) for s in range(4)
     )
     views = (
-        ViewConfig((12, 24, 48, 96), (4, 4, 3), (1, 1, 2, 1), (3, 3, 6, 6),
+        ViewConfig((12, 24, 48, 96), (4, 4, 3), (1, 1, 4, 1), (3, 3, 6, 6),
                    48, 1, res, 1, window_size=4),
-        ViewConfig((12, 24, 48, 96), (4, 4, 2), (1, 1, 2, 1), (3, 3, 6, 6),
+        ViewConfig((12, 24, 48, 96), (4, 4, 2), (1, 1, 4, 1), (3, 3, 6, 6),
                    96, 1, res, 1, window_size=4),
-        ViewConfig((24, 48, 96, 192), (4, 4, 1), (1, 1, 2, 1), (6, 6, 12, 12),
+        ViewConfig((24, 48, 96, 192), (4, 4, 1), (1, 1, 4, 1), (6, 6, 12, 12),
                    192, 3, res, 3, window_size=4),
     )
     ge = GlobalEncoderConfig(num_heads=4, mlp_dim=64, num_layers=2, hidden_size=32)

@@ -31,6 +31,12 @@ from .augment import clip_augment
 from .db import SequenceInfo, read_sequences
 
 
+def get_dataset(cfg: DataConfig, split: str) -> "ClipDataset":
+    """Dataset facade (counterpart of ``utils/dataset_utils.py:4-8``)."""
+    assert cfg.dataset in ("davis", "youtubevos"), cfg.dataset
+    return ClipDataset(cfg, split)
+
+
 @dataclasses.dataclass(frozen=True)
 class Clip:
     seq_name: str
@@ -147,40 +153,76 @@ def multilateral_collate(samples: Sequence) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Minimal host-side batching loader with shuffling and drop_last (train)."""
+    """Host-side batching loader with shuffling, drop_last and threaded prefetch.
+
+    Counterpart of the reference's ``torch.utils.data.DataLoader(num_workers=N)``
+    (``train.py:86-90``): with ``num_workers > 0`` batches are assembled by a
+    thread pool (PIL decode/resize release the GIL) and up to ``prefetch``
+    batches are staged ahead so host IO overlaps device compute.
+    """
 
     def __init__(self, dataset: ClipDataset, batch_size: int, shuffle: bool,
-                 drop_last: bool, seed: int = 0):
+                 drop_last: bool, seed: int = 0, num_workers: int = 0,
+                 prefetch: int = 2):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.default_rng(self.seed + self._epoch)
-        self._epoch += 1
+    def _batch_indices(self, rng: np.random.Generator):
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
         bs = self.batch_size
         end = len(order) - (len(order) % bs) if self.drop_last else len(order)
-        for start in range(0, end, bs):
-            idx = order[start : start + bs]
-            if self.drop_last and len(idx) < bs:
-                break
-            samples = [self.ds.load_clip(int(i), rng) for i in idx]
-            if self.ds.split == "test":
-                yield {
-                    "image": np.stack([s[0][0] for s in samples]).astype(np.float32),
-                    "mask": np.stack([s[1] for s in samples]).astype(np.float32),
-                    "seq_name": [s[2] for s in samples],
-                    "starting_frame": [s[3] for s in samples],
-                }
-            else:
-                yield multilateral_collate(samples)
+        return [order[s : s + bs] for s in range(0, end, bs)
+                if not (self.drop_last and len(order[s : s + bs]) < bs)]
+
+    def _assemble(self, idx, seeds) -> Dict[str, np.ndarray]:
+        samples = [
+            self.ds.load_clip(int(i), np.random.default_rng(int(s)))
+            for i, s in zip(idx, seeds)
+        ]
+        if self.ds.split == "test":
+            return {
+                "image": np.stack([s[0][0] for s in samples]).astype(np.float32),
+                "mask": np.stack([s[1] for s in samples]).astype(np.float32),
+                "seq_name": [s[2] for s in samples],
+                "starting_frame": [s[3] for s in samples],
+            }
+        return multilateral_collate(samples)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        batches = self._batch_indices(rng)
+        # per-sample augmentation seeds drawn up-front so results are
+        # independent of worker scheduling
+        seeds = [rng.integers(0, 2**63, size=len(idx)) for idx in batches]
+        if self.num_workers <= 0:
+            for idx, sd in zip(batches, seeds):
+                yield self._assemble(idx, sd)
+            return
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            it = iter(zip(batches, seeds))
+            for _ in range(self.prefetch):
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._assemble, *nxt))
+            while pending:
+                fut = pending.pop(0)
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._assemble, *nxt))
+                yield fut.result()

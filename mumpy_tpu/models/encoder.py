@@ -120,6 +120,41 @@ class CrossSwinBlock(nn.Module):
         return x1 + drop_path(y, self.drop_path_rate, deterministic, rng), out
 
 
+class PlainBlockPair(nn.Module):
+    """Scan body: one (shifted, unshifted) pair of plain Swin blocks.
+
+    The reference alternates shift/no-shift starting from the shifted block at
+    depth index 1 (``multiTemporalViewEncoder.py:407``: shift uses *view1's* window
+    size for every view — reference quirk preserved via ``shift_size``).
+    Stacking identical pairs under ``nn.scan`` compiles the body once instead of
+    once per depth — the deep stage-3 (17 plain blocks per view) dominates compile
+    time otherwise.
+    """
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    shift_size: int
+    temporal_dim: int
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, dp_rates):
+        kw = dict(
+            dim=self.dim, input_resolution=self.input_resolution,
+            num_heads=self.num_heads, window_size=self.window_size,
+            temporal_dim=self.temporal_dim, drop=self.drop, attn_drop=self.attn_drop,
+        )
+        x = SwinBlock(shift_size=self.shift_size, name="shifted", **kw)(
+            x, self.deterministic, dp_rates[0]
+        )
+        x = SwinBlock(shift_size=0, name="plain", **kw)(x, self.deterministic, dp_rates[1])
+        return x, None
+
+
 class ThreeViewStages(nn.Module):
     """The 4-stage cross-view pyramid (``multiTemporalViewEncoder.py:489-571``).
 
@@ -133,56 +168,81 @@ class ThreeViewStages(nn.Module):
     def __call__(self, views: List[jnp.ndarray], deterministic: bool = True):
         cfg = self.cfg
         vcfgs = cfg.views
-        depths = vcfgs[2].depths  # max depths drive the stage length (``:542``)
-        total_depth = sum(depths)
-        dpr = np.linspace(0.0, cfg.drop_path_rate, total_depth)
+        depths = vcfgs[2].depths  # max depths drive the dpr schedule (``:542,553``)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, sum(depths))
 
         stage_outputs = []
         x = list(views)
         for s in range(4):
             res = vcfgs[0].input_resolution[s]
-            for i in range(depths[s]):
-                dp = float(dpr[sum(depths[:s]) + i])
-                if i == 0:
-                    # CVA chain: view3 -> view2 -> view1 (``:345-349``)
-                    blk3 = CrossSwinBlock(
-                        vcfgs[2].hidden_size[s], vcfgs[2].hidden_size[s], res,
-                        vcfgs[2].num_heads[s], window_size=vcfgs[2].window_size,
-                        drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                        drop_path_rate=dp, last_view=True, temporal_dims=3,
-                        name=f"stage{s}_cross_view3",
+            dp0 = float(dpr[sum(depths[:s])])
+            # block 0 — CVA chain: view3 -> view2 -> view1 (``:345-349``)
+            blk3 = CrossSwinBlock(
+                vcfgs[2].hidden_size[s], vcfgs[2].hidden_size[s], res,
+                vcfgs[2].num_heads[s], window_size=vcfgs[2].window_size,
+                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                drop_path_rate=dp0, last_view=True, temporal_dims=3,
+                name=f"stage{s}_cross_view3",
+            )
+            blk2 = CrossSwinBlock(
+                vcfgs[1].hidden_size[s], vcfgs[2].hidden_size[s], res,
+                vcfgs[1].num_heads[s], window_size=vcfgs[1].window_size,
+                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                drop_path_rate=dp0, temporal_dims=1,
+                name=f"stage{s}_cross_view2",
+            )
+            blk1 = CrossSwinBlock(
+                vcfgs[0].hidden_size[s], vcfgs[1].hidden_size[s], res,
+                vcfgs[0].num_heads[s], window_size=vcfgs[0].window_size,
+                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                drop_path_rate=dp0, temporal_dims=1,
+                name=f"stage{s}_cross_view1",
+            )
+            x[2], out2 = blk3(x[2], x[2], deterministic)
+            x[1], out1 = blk2(x[1], out2, deterministic)
+            x[0], _ = blk1(x[0], out1, deterministic)
+
+            # blocks 1..d_v-1 — per-view plain Swin blocks, scanned in pairs
+            for v in range(3):
+                d_v = vcfgs[v].depths[s]
+                n_plain = d_v - 1
+                if n_plain <= 0:
+                    continue
+                rates = dpr[sum(depths[:s]) + 1 : sum(depths[:s]) + d_v]
+                n_pairs, rem = n_plain // 2, n_plain % 2
+                # reference quirk: every view shifts by *view1's* window size
+                # (``multiTemporalViewEncoder.py:407,421,435``)
+                shift = vcfgs[0].window_size // 2
+                if n_pairs > 0:
+                    ScannedPairs = nn.scan(
+                        PlainBlockPair,
+                        variable_axes={"params": 0},
+                        split_rngs={"params": True, "dropout": True},
+                        in_axes=0,
+                        length=n_pairs,
                     )
-                    blk2 = CrossSwinBlock(
-                        vcfgs[1].hidden_size[s], vcfgs[2].hidden_size[s], res,
-                        vcfgs[1].num_heads[s], window_size=vcfgs[1].window_size,
-                        drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                        drop_path_rate=dp, temporal_dims=1,
-                        name=f"stage{s}_cross_view2",
+                    pair_rates = jnp.asarray(
+                        rates[: 2 * n_pairs].reshape(n_pairs, 2), jnp.float32
                     )
-                    blk1 = CrossSwinBlock(
-                        vcfgs[0].hidden_size[s], vcfgs[1].hidden_size[s], res,
-                        vcfgs[0].num_heads[s], window_size=vcfgs[0].window_size,
+                    x[v], _ = ScannedPairs(
+                        dim=vcfgs[v].hidden_size[s], input_resolution=res,
+                        num_heads=vcfgs[v].num_heads[s],
+                        window_size=vcfgs[v].window_size, shift_size=shift,
+                        temporal_dim=vcfgs[v].temporal_dim,
                         drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                        drop_path_rate=dp, temporal_dims=1,
-                        name=f"stage{s}_cross_view1",
-                    )
-                    x[2], out2 = blk3(x[2], x[2], deterministic)
-                    x[1], out1 = blk2(x[1], out2, deterministic)
-                    x[0], _ = blk1(x[0], out1, deterministic)
-                else:
-                    for v in range(3):
-                        if i < vcfgs[v].depths[s]:
-                            x[v] = SwinBlock(
-                                vcfgs[v].hidden_size[s], res, vcfgs[v].num_heads[s],
-                                window_size=vcfgs[v].window_size,
-                                # NOTE reference quirk: shift uses *view1's* window
-                                # size for every view (``multiTemporalViewEncoder.py
-                                # :407,421,435`` uses view_configs[0] for views 1-2)
-                                shift_size=0 if i % 2 == 0 else vcfgs[0].window_size // 2,
-                                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                                drop_path_rate=dp, temporal_dim=vcfgs[v].temporal_dim,
-                                name=f"stage{s}_block{i}_view{v + 1}",
-                            )(x[v], deterministic)
+                        deterministic=deterministic,
+                        name=f"stage{s}_pairs_view{v + 1}",
+                    )(x[v], pair_rates)
+                if rem:
+                    x[v] = SwinBlock(
+                        vcfgs[v].hidden_size[s], res, vcfgs[v].num_heads[s],
+                        window_size=vcfgs[v].window_size, shift_size=shift,
+                        drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                        drop_path_rate=float(rates[-1]),
+                        temporal_dim=vcfgs[v].temporal_dim,
+                        name=f"stage{s}_last_view{v + 1}",
+                    )(x[v], deterministic)
+
             stage_outputs.append(list(x))
             if s < 3:
                 for v in range(3):
@@ -191,6 +251,23 @@ class ThreeViewStages(nn.Module):
                         vcfgs[v].hidden_size[s], grid, name=f"stage{s}_merge_view{v + 1}"
                     )(x[v])
         return x, stage_outputs
+
+
+class GlobalVitBody(nn.Module):
+    """Scan body for the 12-layer global temporal ViT (``:657-669,741``)."""
+
+    dim: int
+    num_heads: int
+    mlp_dim: int
+    drop: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, dp_rate):
+        x = VitBlock(
+            self.dim, self.num_heads, self.mlp_dim, drop=self.drop, name="block"
+        )(x, self.deterministic, dp_rate)
+        return x, None
 
 
 def merge_views_along_channel_axis(
@@ -245,11 +322,18 @@ class MumpyEncoder(nn.Module):
         # vmap over spatial tokens == fold tokens into batch (``:741``)
         g = merged.transpose(0, 2, 1, 3).reshape(b * n, t, c)
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.global_encoder.num_layers)
-        for i in range(cfg.global_encoder.num_layers):
-            g = VitBlock(
-                c, cfg.global_encoder.num_heads, cfg.global_encoder.mlp_dim,
-                drop=cfg.drop_rate, drop_path_rate=float(dpr[i]), name=f"global_block{i}",
-            )(g, deterministic)
+        ScannedVit = nn.scan(
+            GlobalVitBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            length=cfg.global_encoder.num_layers,
+        )
+        g, _ = ScannedVit(
+            dim=c, num_heads=cfg.global_encoder.num_heads,
+            mlp_dim=cfg.global_encoder.mlp_dim, drop=cfg.drop_rate,
+            deterministic=deterministic, name="global_blocks",
+        )(g, jnp.asarray(dpr, jnp.float32))
         g = g.reshape(b, n, t, c)
         # concat temporal slices along channels (``:745``)
         g = g.transpose(0, 2, 1, 3)  # (B, T, n, C)

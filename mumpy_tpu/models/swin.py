@@ -24,14 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.window import shifted_window_mask, window_partition, window_reverse
+from ..ops.pallas import window_attention as pallas_wa
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 gelu = functools.partial(nn.gelu, approximate=False)
 
 
-def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
-    """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
-    if deterministic or rate == 0.0:
+def drop_path(x: jnp.ndarray, rate, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm ``DropPath`` semantics).
+
+    ``rate`` may be a traced scalar (blocks under ``nn.scan`` receive their
+    per-depth rate as a scanned input).
+    """
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -91,8 +96,6 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, hd)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-
         wh, ww = self.window
         table = self.param(
             "relative_position_bias_table",
@@ -101,17 +104,34 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(relative_position_index(wh, ww))
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + bias[None]
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
-            attn = attn.reshape(b, h, n, n)
-
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        use_fused = (
+            pallas_wa.attention_mode() != "off"
+            and (deterministic or self.attn_drop == 0.0)
+        )
+        if use_fused:
+            # fused pallas path: rows = (batch, window, head) with head fastest,
+            # so the (mask+bias) additive term is periodic along rows.
+            if mask is not None:
+                nw = mask.shape[0]
+                periodic = (mask[:, None] + bias[None]).reshape(nw * h, n, n)
+            else:
+                periodic = bias
+            rows = q.transpose(0, 2, 1, 3).reshape(b * h, n, hd)
+            krows = k.transpose(0, 2, 1, 3).reshape(b * h, n, hd)
+            vrows = v.transpose(0, 2, 1, 3).reshape(b * h, n, hd)
+            out = pallas_wa.window_attention_ad(rows, krows, vrows, periodic)
+            out = out.reshape(b, h, n, hd).transpose(0, 2, 1, 3).reshape(b, n, c)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            attn = attn + bias[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
+                attn = attn.reshape(b, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
         out = nn.Dense(c, kernel_init=trunc_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -147,7 +167,12 @@ def window_attend(
 
 
 class SwinBlock(nn.Module):
-    """Standard Swin block with temporal-folded grid (``swinTransformer.py:185-307``)."""
+    """Standard Swin block with temporal-folded grid (``swinTransformer.py:185-307``).
+
+    ``dp_rate`` (call arg) overrides ``drop_path_rate`` so stacked blocks under
+    ``nn.scan`` can receive their per-depth stochastic-depth rate as a scanned
+    input.
+    """
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -161,13 +186,14 @@ class SwinBlock(nn.Module):
     temporal_dim: int = 1
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None):
         h, w = self.input_resolution
         window = self.window_size
         shift = self.shift_size
         if min(h, w) <= window:
             window = min(h, w)
             shift = 0
+        dp = self.drop_path_rate if dp_rate is None else dp_rate
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -177,13 +203,13 @@ class SwinBlock(nn.Module):
         )
         y = window_attend(attn, y, (self.temporal_dim * h, w), window, shift, deterministic)
 
-        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
-        x = shortcut + drop_path(y, self.drop_path_rate, deterministic, rng)
+        rng = self.make_rng("dropout") if not deterministic else None
+        x = shortcut + drop_path(y, dp, deterministic, rng)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
         )
-        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
-        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        rng = self.make_rng("dropout") if not deterministic else None
+        return x + drop_path(y, dp, deterministic, rng)
 
 
 class PatchMerging(nn.Module):
@@ -223,10 +249,11 @@ class VitBlock(nn.Module):
     drop_path_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
+        dp = self.drop_path_rate if dp_rate is None else dp_rate
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(y).reshape(b, n, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -235,10 +262,10 @@ class VitBlock(nn.Module):
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
         y = nn.Dense(c, kernel_init=trunc_init, name="proj")(y)
         y = nn.Dropout(self.drop)(y, deterministic=deterministic)
-        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
-        x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        rng = self.make_rng("dropout") if not deterministic else None
+        x = x + drop_path(y, dp, deterministic, rng)
         y = Mlp(self.mlp_dim, c, self.drop, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
         )
-        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
-        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        rng = self.make_rng("dropout") if not deterministic else None
+        return x + drop_path(y, dp, deterministic, rng)

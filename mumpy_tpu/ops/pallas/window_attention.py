@@ -33,13 +33,38 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 
-def enabled() -> bool:
+_FORCED_MODE = None  # test hook: None (auto) | "off" | "interpret" | "compiled"
+
+
+def set_mode(mode):
+    """Force the kernel dispatch mode (tests use "interpret" on CPU)."""
+    global _FORCED_MODE
+    _FORCED_MODE = mode
+
+
+def attention_mode() -> str:
+    """How model code should run window attention: "compiled" pallas on TPU,
+    "interpret" (forced, tests), or "off" (pure-XLA einsum path)."""
+    if _FORCED_MODE is not None:
+        return _FORCED_MODE
+    import os
+
+    env = os.environ.get("MUMPY_PALLAS", "auto")
+    if env in ("0", "off"):
+        return "off"
+    if env == "interpret":
+        return "interpret"
     if not _PALLAS_OK:
-        return False
+        return "off"
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        platform = jax.devices()[0].platform
     except Exception:
-        return False
+        return "off"
+    return "compiled" if platform in ("tpu", "axon") else "off"
+
+
+def enabled() -> bool:
+    return attention_mode() != "off"
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, n_valid):
@@ -79,18 +104,33 @@ def fused_window_attention(q, k, v, bias, interpret: bool = False):
     scale = d**-0.5
     npad = -(-n // 8) * 8
 
-    # tile: multiple of the bias period, targeting ~64 rows per grid step
-    tile = p_period * max(1, 64 // p_period)
-    while r % tile != 0:
-        tile -= p_period
-    reps = tile // p_period
+    # Tile selection targets ~64 rows/step so VMEM stays well under the 16MB
+    # scoped limit (q/k/v/out blocks + the (tile, npad, npad) bias block and
+    # score temps, double-buffered).  Two regimes:
+    #  * small period: tile = multiple of the period; one pre-tiled bias block
+    #    is reused by every grid step (index_map -> 0).
+    #  * large period (e.g. windows*heads = 768 at stage 0): tile = divisor of
+    #    the period; the bias block is selected per grid step by periodic
+    #    indexing, never materializing period*npad^2 rows in VMEM at once.
+    target = 64
+    if p_period <= target:
+        tile = p_period * max(1, target // p_period)
+        while r % tile != 0:
+            tile -= p_period
+        reps = tile // p_period
+        bias_blocks = 1
+    else:
+        tile = next(t for t in range(target, 0, -1) if p_period % t == 0)
+        reps = 1
+        bias_blocks = p_period // tile
 
     def pad_rows(x):
         return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
 
     qp, kp, vp = pad_rows(q), pad_rows(k), pad_rows(v)
     biasp = jnp.pad(bias, ((0, 0), (0, npad - n), (0, npad - n)))
-    bias_tile = jnp.tile(biasp, (reps, 1, 1))  # (tile, npad, npad)
+    if reps > 1:
+        biasp = jnp.tile(biasp, (reps, 1, 1))  # (tile, npad, npad)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n_valid=n),
@@ -100,9 +140,69 @@ def fused_window_attention(q, k, v, bias, interpret: bool = False):
             pl.BlockSpec((tile, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, npad, npad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile, npad, npad),
+                lambda i, nb=bias_blocks: (i % nb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((tile, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qp, kp, vp, bias_tile)
+    )(qp, kp, vp, biasp)
     return out[:, :n, :]
+
+
+@jax.custom_vjp
+def window_attention_ad(q, k, v, bias):
+    """Differentiable fused window attention.
+
+    Forward is the Pallas kernel; backward recomputes the (small, VMEM-sized)
+    per-window softmax in plain XLA — the score matrices are 49x56-token tiles,
+    so the recompute is cheap and keeps the kernel single-purpose.
+    Signature matches :func:`fused_window_attention`.
+    """
+    interpret = attention_mode() == "interpret"
+    return fused_window_attention(q, k, v, bias, interpret=interpret)
+
+
+def _softmax_rows(q, k, bias):
+    r = q.shape[0]
+    scale = q.shape[-1] ** -0.5
+    reps = r // bias.shape[0]
+    bias_rows = jnp.tile(bias, (reps, 1, 1))
+    scores = (
+        jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+        * scale + bias_rows.astype(jnp.float32)
+    )
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _ad_fwd(q, k, v, bias):
+    return window_attention_ad(q, k, v, bias), (q, k, v, bias)
+
+
+def _ad_bwd(res, g):
+    q, k, v, bias = res
+    scale = q.shape[-1] ** -0.5
+    p = _softmax_rows(q, k, bias)
+    g32 = g.astype(jnp.float32)
+    dv = jax.lax.dot_general(p, g32, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g32, v.astype(jnp.float32),
+                             (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    reps = q.shape[0] // bias.shape[0]
+    dbias = ds.reshape((reps,) + bias.shape).sum(0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype))
+
+
+window_attention_ad.defvjp(_ad_fwd, _ad_bwd)

@@ -44,6 +44,9 @@ class TrainLoopConfig:
     min_delta: float = 0.0
     best_val_loss: float = 1000.0
     smooth_curves: bool = True
+    # reference gates the patience-triggered best-checkpoint reload on
+    # ``finetune_after != -1`` (``train.py:449``)
+    patience_reload: bool = True
     print_every: int = 10
     seed: int = 282845927  # reference default (``args.py``)
 
@@ -59,7 +62,9 @@ def create_train_state(
     model = Mumpy(cfg)
     if batch_example is None:
         batch_example = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    params = model.init(rng, batch_example)["params"]
+    # jit the init: eager init dispatches thousands of tiny ops one-by-one to the
+    # device (pathological over a remote-TPU tunnel); jitted it is one program
+    params = jax.jit(model.init)(rng, batch_example)["params"]
     tx = build_optimizer(params, opt_cfg, iter_max)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
@@ -207,7 +212,7 @@ def train_loop(
             acc_patience = 0
         else:
             acc_patience += 1
-            if acc_patience > loop_cfg.patience:
+            if acc_patience > loop_cfg.patience and loop_cfg.patience_reload:
                 # reload best checkpoint and keep going (``train.py:449-459``)
                 restored = ckpt_lib.load_latest(model_dir, state)
                 if restored is not None:

@@ -60,8 +60,34 @@ def _conv3d_temporal(w):
     return a.reshape(-1, a.shape[-1])
 
 
-def encoder_key_map(torch_key: str):
-    """Map one reference encoder state_dict key -> (flax path tuple, converter).
+DEFAULT_DEPTHS = (2, 2, 18, 2)  # view3/max depths (``modelFactory.py:43``)
+VIEW_DEPTHS = ((2, 2, 6, 2), (2, 2, 18, 2), (2, 2, 18, 2))
+
+
+def _plain_block_slot(stage: int, view: int, i: int, view_depths=VIEW_DEPTHS):
+    """Locate plain block i (1..d-1) in the scanned layout.
+
+    Returns (module_name, sub_name, pair_index).  The stage's plain blocks form
+    ``n_pairs`` scanned (shifted, plain) pairs plus an optional trailing shifted
+    block (see ``ThreeViewStages``).
+    """
+    d = view_depths[view - 1][stage]
+    n_plain = d - 1
+    n_pairs = n_plain // 2
+    rem = n_plain % 2
+    j = i - 1  # 0-based plain index; shifts alternate [s, 0, s, 0, ...]
+    if rem and j == n_plain - 1:
+        return (f"stage{stage}_last_view{view}", None, None)
+    pair = j // 2
+    sub = "shifted" if j % 2 == 0 else "plain"
+    assert pair < n_pairs
+    return (f"stage{stage}_pairs_view{view}", sub, pair)
+
+
+def encoder_key_map(torch_key: str, view_depths=VIEW_DEPTHS):
+    """Map one reference encoder state_dict key -> (flax path tuple, converter,
+    stack_index) where ``stack_index`` is the leading-axis slot for scanned
+    (stacked) parameters or None.
 
     Reference module tree: ``base.<...>`` from ``Encoder`` wrapping
     ``ThreeViewSwinTransformer`` (``models/encoder/encoder.py:6-18``).
@@ -73,6 +99,9 @@ def encoder_key_map(torch_key: str):
     if "relative_position_index" in k or "attn_mask" in k:
         return None
 
+    def flat(out):
+        return None if out is None else (out[0], out[1], None)
+
     # tokenizer: tokenize.project{v}.weight/bias, tokenize.norm{v}...
     m = re.match(r"tokenize\.project(\d)\.(weight|bias)", k)
     if m:
@@ -80,44 +109,44 @@ def encoder_key_map(torch_key: str):
         path = ("encoder", f"tokenize_view{v}", "proj")
         return (path + (("kernel",) if wb == "weight" else ("bias",))), (
             _conv3d_patch if wb == "weight" else _t
-        )
+        ), None
     m = re.match(r"tokenize\.norm(\d)\.(weight|bias)", k)
     if m:
         v, wb = m.groups()
         return ("encoder", f"tokenize_view{v}", "norm",
-                "scale" if wb == "weight" else "bias"), _t
+                "scale" if wb == "weight" else "bias"), _t, None
 
-    # global embedding / blocks
+    # global embedding / scanned global blocks
     m = re.match(r"globalembedding\.(weight|bias)", k)
     if m:
         wb = m.group(1)
         return ("encoder", "globalembedding",
                 "kernel" if wb == "weight" else "bias"), (
             _linear if wb == "weight" else _t
-        )
+        ), None
     m = re.match(r"globalblocks\.blocks\.(\d+)\.(.*)", k)
     if m:
         i, rest = m.groups()
-        base = ("encoder", f"global_block{i}")
-        return _vit_block_map(base, rest)
+        out = _vit_block_map(("encoder", "global_blocks", "block"), rest)
+        return None if out is None else (out[0], out[1], int(i))
 
     # stages: layers.layers.{s}.blocks.{i}....
     m = re.match(r"layers\.layers\.(\d+)\.blocks\.(\d+)\.(.*)", k)
     if m:
         s, i, rest = int(m.group(1)), int(m.group(2)), m.group(3)
-        if i == 0:
-            m2 = re.match(r"block(\d)\.(.*)", rest)
-            if not m2:
-                return None
-            v, rest2 = int(m2.group(1)), m2.group(2)
-            base = ("encoder", "stages", f"stage{s}_cross_view{v}")
-            return _cross_block_map(base, rest2)
         m2 = re.match(r"block(\d)\.(.*)", rest)
         if not m2:
             return None
         v, rest2 = int(m2.group(1)), m2.group(2)
-        base = ("encoder", "stages", f"stage{s}_block{i}_view{v}")
-        return _swin_block_map(base, rest2)
+        if i == 0:
+            base = ("encoder", "stages", f"stage{s}_cross_view{v}")
+            return flat(_cross_block_map(base, rest2))
+        if i >= view_depths[v - 1][s]:
+            return None  # reference nn.Identity placeholder for shallow views
+        mod, sub, pair = _plain_block_slot(s, v, i, view_depths)
+        base = ("encoder", "stages", mod) + ((sub,) if sub else ())
+        out = _swin_block_map(base, rest2)
+        return None if out is None else (out[0], out[1], pair)
 
     # patch merging: layers.layers.{s}.downsample.downsample{v}.(norm|reduction)
     m = re.match(r"layers\.layers\.(\d+)\.downsample\.downsample(\d)\.(norm|reduction)\.(weight|bias)", k)
@@ -125,8 +154,8 @@ def encoder_key_map(torch_key: str):
         s, v, mod, wb = int(m.group(1)), m.group(2), m.group(3), m.group(4)
         base = ("encoder", "stages", f"stage{s}_merge_view{v}")
         if mod == "norm":
-            return base + ("norm", "scale" if wb == "weight" else "bias"), _t
-        return base + ("reduction", "kernel"), _linear
+            return base + ("norm", "scale" if wb == "weight" else "bias"), _t, None
+        return base + ("reduction", "kernel"), _linear, None
     return None
 
 
@@ -165,7 +194,7 @@ def _vit_block_map(base, rest):
         return _dense_map(base, m.group(1), m.group(2))
     m = re.match(r"mlp\.(fc1|fc2)\.(weight|bias)", rest)
     if m:
-        return _dense_map(base, m.group(1), m.group(2))
+        return _dense_map(base + ("mlp",), m.group(1), m.group(2))
     return None
 
 
@@ -221,7 +250,12 @@ def _cva_map(base, rest):
 
 
 def decoder_key_map(torch_key: str):
-    """Map one reference decoder state_dict key -> (flax path, converter)."""
+    """Map one reference decoder state_dict key -> (flax path, converter, None)."""
+    out = _decoder_key_map(torch_key)
+    return None if out is None else (out[0], out[1], None)
+
+
+def _decoder_key_map(torch_key: str):
     k = re.sub(r"^(module\.)?", "", torch_key)
 
     m = re.match(r"rgb_decoder_(\d)\.0\.(weight|bias)", k)
@@ -293,6 +327,7 @@ def port_state_dicts(
     untouched flax paths.
     """
     flat = dict(traverse_util.flatten_dict(flax_params))
+    flat = {k: np.asarray(v) for k, v in flat.items()}
     touched = set()
     unmatched = []
     for sd, mapper in ((encoder_sd, encoder_key_map), (decoder_sd, decoder_key_map)):
@@ -302,15 +337,23 @@ def port_state_dicts(
                 if "relative_position_index" not in k and "attn_mask" not in k:
                     unmatched.append(k)
                 continue
-            path, conv = out
+            path, conv, idx = out
             if path not in flat:
                 unmatched.append(k)
                 continue
             arr = conv(v).astype(np.float32)
-            if arr.shape != flat[path].shape:
-                raise ValueError(f"shape mismatch for {k} -> {path}: "
-                                 f"{arr.shape} vs {flat[path].shape}")
-            flat[path] = arr
+            if idx is None:
+                if arr.shape != flat[path].shape:
+                    raise ValueError(f"shape mismatch for {k} -> {path}: "
+                                     f"{arr.shape} vs {flat[path].shape}")
+                flat[path] = arr
+            else:
+                # scanned (stacked) parameter: write one leading-axis slot
+                if arr.shape != flat[path].shape[1:]:
+                    raise ValueError(f"shape mismatch for {k} -> {path}[{idx}]: "
+                                     f"{arr.shape} vs {flat[path].shape[1:]}")
+                flat[path] = flat[path].copy()
+                flat[path][idx] = arr
             touched.add(path)
     untouched = [p for p in flat if p not in touched]
     if not allow_missing and (unmatched or untouched):

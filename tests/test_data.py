@@ -84,6 +84,37 @@ def test_normalization_range(fake_davis):
     assert -3.0 < streams[0].mean() < 3.0
 
 
+def test_threaded_loader_matches_serial(fake_davis):
+    """num_workers>0 prefetch yields byte-identical batches in the same order."""
+    ds = ClipDataset(fake_davis, "train")
+    a = list(DataLoader(ds, 2, shuffle=True, drop_last=True, seed=3))
+    ds2 = ClipDataset(fake_davis, "train")
+    b = list(DataLoader(ds2, 2, shuffle=True, drop_last=True, seed=3, num_workers=4))
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        np.testing.assert_array_equal(x["mask"], y["mask"])
+
+
+def test_indexed_png_roundtrip(tmp_path):
+    from mumpy_tpu.utils.io import imread_indexed, imwrite_indexed
+
+    labels = np.zeros((8, 8), np.uint8)
+    labels[2:5, 3:7] = 1
+    path = str(tmp_path / "m.png")
+    imwrite_indexed(path, labels)
+    back, palette = imread_indexed(path)
+    np.testing.assert_array_equal(back, labels)
+    assert palette is not None and tuple(palette[1]) == (128, 0, 0)
+
+
+def test_get_dataset_facade(fake_davis):
+    from mumpy_tpu.data.dataset import get_dataset
+
+    ds = get_dataset(fake_davis, "train")
+    assert len(ds) == 9
+
+
 @pytest.mark.parametrize("variant", range(8))
 def test_pscc_matches_pil(variant):
     rng = np.random.default_rng(variant)

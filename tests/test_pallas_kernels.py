@@ -46,3 +46,50 @@ def test_fused_window_attention_period_full():
     out = fused_window_attention(q, k, v, bias, interpret=True)
     ref = _reference(q, k, v, jnp.tile(bias, (3, 1, 1)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_window_attention_large_period():
+    # bias period > the 64-row tile target (e.g. 192 windows x 4 heads at stage 0
+    # of the 224^2 model) — exercises per-step periodic bias block indexing
+    rng = np.random.default_rng(3)
+    p, n, d = 96, 49, 16  # period 96 > 64 -> tile 48, 2 bias blocks
+    r = p * 2
+    q = jnp.asarray(rng.standard_normal((r, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((r, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((r, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((p, n, n)), jnp.float32)
+    out = fused_window_attention(q, k, v, bias, interpret=True)
+    ref = _reference(q, k, v, jnp.tile(bias, (2, 1, 1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_window_attention_module_fused_matches_einsum(shift):
+    """The model's WindowAttention produces identical outputs and gradients on the
+    fused (interpret-mode pallas) and pure-XLA paths, incl. the shifted-mask case."""
+    from mumpy_tpu.models.swin import SwinBlock
+    from mumpy_tpu.ops.pallas import window_attention as pwa
+
+    rng = np.random.default_rng(2)
+    b, hw, c, heads, win = 2, 8, 12, 3, 4
+    x = jnp.asarray(rng.standard_normal((b, hw * hw, c)), jnp.float32)
+    blk = SwinBlock(dim=c, input_resolution=(hw, hw), num_heads=heads,
+                    window_size=win, shift_size=shift)
+    params = blk.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, xx):
+        return jnp.sum(blk.apply(p, xx) ** 2)
+
+    try:
+        pwa.set_mode("off")
+        ref, ref_grads = jax.value_and_grad(loss)(params, x)
+        pwa.set_mode("interpret")
+        got, got_grads = jax.value_and_grad(loss)(params, x)
+    finally:
+        pwa.set_mode(None)
+
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+    flat_r = jax.tree_util.tree_leaves(ref_grads)
+    flat_g = jax.tree_util.tree_leaves(got_grads)
+    for a, g in zip(flat_r, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a), atol=2e-4, rtol=2e-3)

@@ -1,0 +1,203 @@
+"""Weight-port coverage test: a synthetic reference-style state_dict (tiny config)
+ports onto the flax tree with no unmatched keys and no untouched parameters, and
+layout conversions (transposes / conv flattening) are numerically verified.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mumpy_tpu.configs.model_config import tiny_config
+from mumpy_tpu.models.mumpy import Mumpy
+from mumpy_tpu.utils.weight_port import port_state_dicts, encoder_key_map
+from flax.traverse_util import flatten_dict
+
+RNG = np.random.default_rng(7)
+
+
+def _r(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+def _swin_block_keys(prefix, c, heads, win):
+    t = (2 * win - 1) ** 2
+    return {
+        f"{prefix}.norm1.weight": _r(c), f"{prefix}.norm1.bias": _r(c),
+        f"{prefix}.attn.qkv.weight": _r(3 * c, c), f"{prefix}.attn.qkv.bias": _r(3 * c),
+        f"{prefix}.attn.proj.weight": _r(c, c), f"{prefix}.attn.proj.bias": _r(c),
+        f"{prefix}.attn.relative_position_bias_table": _r(t, heads),
+        f"{prefix}.attn.relative_position_index": np.zeros((win * win, win * win)),
+        f"{prefix}.norm2.weight": _r(c), f"{prefix}.norm2.bias": _r(c),
+        f"{prefix}.mlp.fc1.weight": _r(4 * c, c), f"{prefix}.mlp.fc1.bias": _r(4 * c),
+        f"{prefix}.mlp.fc2.weight": _r(c, 4 * c), f"{prefix}.mlp.fc2.bias": _r(c),
+    }
+
+
+def _cva_keys(prefix, c):
+    gc = c // 3
+    return {
+        f"{prefix}.cva.crossattn.proj_q.weight": _r(c, c, 1, 1),
+        f"{prefix}.cva.crossattn.proj_q.bias": _r(c),
+        f"{prefix}.cva.crossattn.proj_k.weight": _r(c, c, 1, 1),
+        f"{prefix}.cva.crossattn.proj_k.bias": _r(c),
+        f"{prefix}.cva.crossattn.proj_v.weight": _r(c, c, 1, 1),
+        f"{prefix}.cva.crossattn.proj_v.bias": _r(c),
+        f"{prefix}.cva.crossattn.proj_out.weight": _r(c, c, 1, 1),
+        f"{prefix}.cva.crossattn.proj_out.bias": _r(c),
+        f"{prefix}.cva.crossattn.conv_offset.0.weight": _r(gc, 1, 5, 5),
+        f"{prefix}.cva.crossattn.conv_offset.0.bias": _r(gc),
+        f"{prefix}.cva.crossattn.conv_offset.1.norm.weight": _r(gc),
+        f"{prefix}.cva.crossattn.conv_offset.1.norm.bias": _r(gc),
+        f"{prefix}.cva.crossattn.conv_offset.3.weight": _r(2, gc, 1, 1),
+    }
+
+
+def build_reference_state_dicts(cfg):
+    """Enumerate the reference's state_dict keys for our tiny architecture."""
+    enc = {}
+    # tokenizers (``multiTemporalViewEncoder.py:574-618``)
+    for v, vc in enumerate(cfg.views, start=1):
+        ph, pw, pt = vc.patch_size
+        enc[f"tokenize.project{v}.weight"] = _r(vc.hidden_size[0], 3, pt, ph, pw)
+        enc[f"tokenize.project{v}.bias"] = _r(vc.hidden_size[0])
+        enc[f"tokenize.norm{v}.weight"] = _r(vc.hidden_size[0])
+        enc[f"tokenize.norm{v}.bias"] = _r(vc.hidden_size[0])
+    # stages
+    max_depths = cfg.views[2].depths
+    for s in range(4):
+        res = cfg.views[0].input_resolution[s][0]
+        for i in range(max_depths[s]):
+            for v, vc in enumerate(cfg.views, start=1):
+                if i >= vc.depths[s]:
+                    continue
+                c = vc.hidden_size[s]
+                win = min(vc.window_size, res)
+                p = f"layers.layers.{s}.blocks.{i}.block{v}"
+                enc.update(_swin_block_keys(p, c, vc.num_heads[s], win))
+                if i == 0:
+                    if v != 3:
+                        c2 = cfg.views[v].hidden_size[s]  # next view's dim
+                        enc[f"{p}.pre.weight"] = _r(c, c2)
+                        enc[f"{p}.pre.bias"] = _r(c)
+                        enc.update(_cva_keys(p, c))
+        if s < 3:
+            for v, vc in enumerate(cfg.views, start=1):
+                c = vc.hidden_size[s]
+                enc[f"layers.layers.{s}.downsample.downsample{v}.norm.weight"] = _r(4 * c)
+                enc[f"layers.layers.{s}.downsample.downsample{v}.norm.bias"] = _r(4 * c)
+                enc[f"layers.layers.{s}.downsample.downsample{v}.reduction.weight"] = _r(2 * c, 4 * c)
+    # global
+    ge = cfg.global_encoder
+    merged_c = sum(v.hidden_size[-1] for v in cfg.views)
+    enc["globalembedding.weight"] = _r(ge.hidden_size, merged_c)
+    enc["globalembedding.bias"] = _r(ge.hidden_size)
+    for i in range(ge.num_layers):
+        h = ge.hidden_size
+        p = f"globalblocks.blocks.{i}"
+        enc.update({
+            f"{p}.norm1.weight": _r(h), f"{p}.norm1.bias": _r(h),
+            f"{p}.attn.qkv.weight": _r(3 * h, h), f"{p}.attn.qkv.bias": _r(3 * h),
+            f"{p}.attn.proj.weight": _r(h, h), f"{p}.attn.proj.bias": _r(h),
+            f"{p}.norm2.weight": _r(h), f"{p}.norm2.bias": _r(h),
+            f"{p}.mlp.fc1.weight": _r(ge.mlp_dim, h), f"{p}.mlp.fc1.bias": _r(ge.mlp_dim),
+            f"{p}.mlp.fc2.weight": _r(h, ge.mlp_dim), f"{p}.mlp.fc2.bias": _r(h),
+        })
+
+    # decoder (``models/decoder/decoder.py:55-181``)
+    dec = {}
+    nc, k2 = cfg.decoder_num_classes, cfg.decoder_dap_k**2
+    feats = cfg.decoder_features
+    for s in range(4):
+        cm = cfg.merged_channels[s]
+        dec[f"rgb_decoder_{s + 1}.0.weight"] = _r(feats[s], cm, 3, 1, 1)
+        dec[f"rgb_decoder_{s + 1}.0.bias"] = _r(feats[s])
+        dec[f"rgb_decoder_{s + 1}.1.weight"] = _r(feats[s])
+        dec[f"rgb_decoder_{s + 1}.1.bias"] = _r(feats[s])
+    freq_io = [(9, nc * k2), (nc * k2, nc * k2), (nc * k2, nc * k2), (nc * k2, nc), (nc, nc * k2)]
+    for i, (ci, co) in enumerate(freq_io):
+        dec[f"decoder_frequency_{i}.1.weight"] = _r(co, ci, 3, 3)
+        dec[f"decoder_frequency_{i}.1.bias"] = _r(co)
+        dec[f"decoder_frequency_{i}.2.weight"] = _r(co)
+        dec[f"decoder_frequency_{i}.2.bias"] = _r(co)
+    enc_out = cfg.encoder_out_channels
+    gcm_io = [(feats[-1] + enc_out, nc * 4), (feats[-2], nc), (feats[-3], nc * k2), (feats[-4], nc * k2)]
+    for g, (ci, co) in enumerate(gcm_io, start=1):
+        k = cfg.decoder_kernel_size
+        dec[f"gcm{g}.conv_l1.weight"] = _r(co, ci, k, 1)
+        dec[f"gcm{g}.conv_l1.bias"] = _r(co)
+        dec[f"gcm{g}.conv_l2.weight"] = _r(co, co, 1, k)
+        dec[f"gcm{g}.conv_l2.bias"] = _r(co)
+        dec[f"gcm{g}.conv_r1.weight"] = _r(co, ci, 1, k)
+        dec[f"gcm{g}.conv_r1.bias"] = _r(co)
+        dec[f"gcm{g}.conv_r2.weight"] = _r(co, co, k, 1)
+        dec[f"gcm{g}.conv_r2.bias"] = _r(co)
+    seb_io = [(feats[-1], feats[-2]), (feats[-2] + feats[-1], feats[-3]),
+              (feats[-3] + feats[-2] + feats[-1], feats[-4])]
+    for i, (ci, co) in enumerate(seb_io, start=1):
+        dec[f"seb{i}.conv.weight"] = _r(co, ci, 3, 3)
+        dec[f"seb{i}.conv.bias"] = _r(co)
+    dio = [(nc, nc * k2), (nc * k2, nc * k2), (nc * k2, nc * k2), (nc * k2, nc * k2)]
+    for i, (ci, co) in enumerate(dio, start=2):
+        dec[f"decoder_{i}.0.weight"] = _r(co, ci, 3, 3)
+        dec[f"decoder_{i}.0.bias"] = _r(co)
+        dec[f"decoder_{i}.1.weight"] = _r(co)
+        dec[f"decoder_{i}.1.bias"] = _r(co)
+    dec["final_out.weight"] = _r(1, nc, 3, 3)
+    dec["final_out.bias"] = _r(1)
+    return enc, dec
+
+
+def test_port_covers_everything():
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    import jax.numpy as jnp
+
+    clip = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+
+    depths = tuple(v.depths for v in cfg.views)
+    enc_sd, dec_sd = build_reference_state_dicts(cfg)
+
+    import mumpy_tpu.utils.weight_port as wp
+
+    ported, report = port_state_dicts(
+        enc_sd, dec_sd, params, allow_missing=True
+    ) if depths == wp.VIEW_DEPTHS else _port_with_depths(enc_sd, dec_sd, params, depths)
+
+    assert report["unmatched_torch_keys"] == [], report["unmatched_torch_keys"][:8]
+    assert report["untouched_flax_paths"] == [], report["untouched_flax_paths"][:8]
+
+    # numeric layout checks
+    flat = flatten_dict(ported)
+    np.testing.assert_allclose(
+        flat[("encoder", "globalembedding", "kernel")],
+        enc_sd["globalembedding.weight"].T,
+    )
+    # scanned global block slot 1 holds torch block 1's qkv (transposed)
+    np.testing.assert_allclose(
+        flat[("encoder", "global_blocks", "block", "qkv", "kernel")][1],
+        enc_sd["globalblocks.blocks.1.attn.qkv.weight"].T,
+    )
+    # conv2d layout
+    np.testing.assert_allclose(
+        flat[("decoder", "seb1", "conv", "kernel")],
+        dec_sd["seb1.conv.weight"].transpose(2, 3, 1, 0),
+    )
+    # model still runs with ported params
+    out = model.apply({"params": ported}, clip)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _port_with_depths(enc_sd, dec_sd, params, depths):
+    """Port with tiny-config view depths instead of the flagship defaults."""
+    import functools
+    import mumpy_tpu.utils.weight_port as wp
+
+    orig = wp.encoder_key_map
+    wp_encoder = functools.partial(orig, view_depths=depths)
+    try:
+        wp.encoder_key_map = wp_encoder
+        return wp.port_state_dicts(enc_sd, dec_sd, params, allow_missing=True)
+    finally:
+        wp.encoder_key_map = orig

@@ -28,10 +28,10 @@ def main():
     loaders = {
         "train": lambda: iter(DataLoader(
             loaders_ds["train"], data_cfg.batch_size, shuffle=True,
-            drop_last=True, seed=data_cfg.seed)),
+            drop_last=True, seed=data_cfg.seed, num_workers=data_cfg.num_workers)),
         "val": lambda: iter(DataLoader(
             loaders_ds["val"], data_cfg.batch_size, shuffle=True,
-            drop_last=True, seed=data_cfg.seed + 1)),
+            drop_last=True, seed=data_cfg.seed + 1, num_workers=data_cfg.num_workers)),
     }
     steps_per_epoch = max(1, len(loaders_ds["train"]) // data_cfg.batch_size)
     iter_max = int(steps_per_epoch * loop_cfg.max_epoch / opt_cfg.accumulation_steps)
@@ -48,6 +48,15 @@ def main():
         if restored is not None:
             state = restored
             print(f"Resumed from {model_dir}")
+    elif args.transfer:
+        # warm-start model weights from another run, fresh optimizer state
+        # (``train.py:183-188``)
+        src_dir = os.path.join(loop_cfg.results_dir, args.transfer_from)
+        restored = ckpt_lib.load_latest(src_dir, state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint to transfer from in {src_dir}")
+        state = state.replace(params=restored.params)
+        print(f"Transferred weights from {src_dir}")
 
     train_loop(
         state, loaders, loop_cfg, opt_cfg, iter_max,
