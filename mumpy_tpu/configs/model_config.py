@@ -48,6 +48,10 @@ class MumpyConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
+    # cross-view attention variant: "deformable" (published, ``deformableAttention.py
+    # :218-405``) or "window" (softmax W-CVMSA alternative, ``multiTemporalViewEncoder
+    # .py:18-124``)
+    cva_kind: str = "deformable"
     # decoder
     decoder_num_classes: int = 32
     decoder_dap_k: int = 2

@@ -16,7 +16,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-__all__ = ["clip_augment"]
+__all__ = ["clip_augment", "double_clip_augment"]
 
 
 def _pscc(arr: np.ndarray, variant: int) -> np.ndarray:
@@ -49,3 +49,93 @@ def clip_augment(
         f = lambda a: np.ascontiguousarray(_pscc(a, variant))
     streams = [[f(fr) for fr in frames] for frames in streams]
     return streams, f(mask)
+
+
+# ---------------------------------------------------------------------------
+# DoubleAugmentStrategy — adds one shape-changing op per clip
+# (``utils/randaugment.py:606-631``): a crop / rotate / scale-crop drawn after
+# the non-shape op.  Outputs are resized back to the clip's resolution so batch
+# shapes stay static (the reference resizes in its transform chain).
+# ---------------------------------------------------------------------------
+
+
+def _mask_bbox(mask: np.ndarray):
+    """Tight bbox of the positive mask region +/-1 (``randaugment.py:194-202``)."""
+    rows = np.where(np.any(mask, axis=1))[0]
+    cols = np.where(np.any(mask, axis=0))[0]
+    if len(rows) == 0 or len(cols) == 0:
+        return None
+    return cols[0] - 1, rows[0] - 1, cols[-1] + 1, rows[-1] + 1  # l, t, r, b
+
+
+def _crop_all(streams, mask, box):
+    l, t, r, b = box
+    f = lambda a: np.ascontiguousarray(a[t:b, l:r])
+    return [[f(fr) for fr in fs] for fs in streams], f(mask)
+
+
+def _rot_crop_box(w: int, h: int, angle_deg: float):
+    """Largest axis-aligned rect inside a rotated image (``randaugment.py``'s
+    ``rotate_image(crop=True)`` math)."""
+    angle = angle_deg % 180
+    if angle > 90:
+        angle = 180 - angle
+    theta = np.deg2rad(angle)
+    hw = h / w
+    numerator = np.cos(theta) + np.sin(theta) * np.tan(theta)
+    r = hw if h > w else 1 / hw
+    mult = numerator / (r * np.tan(theta) + 1) if theta > 0 else 1.0
+    wc, hc = int(mult * w), int(mult * h)
+    x0, y0 = (w - wc) // 2, (h - hc) // 2
+    return x0, y0, x0 + wc, y0 + hc
+
+
+def _resize_back(streams, mask, size):
+    from PIL import Image
+
+    w, h = size
+    rs = lambda a, rl: np.asarray(
+        Image.fromarray(a).resize((w, h), rl), dtype=a.dtype
+    )
+    streams = [[rs(fr, Image.BILINEAR) for fr in fs] for fs in streams]
+    return streams, rs(mask.astype(np.uint8), Image.NEAREST).astype(mask.dtype)
+
+
+def double_clip_augment(
+    streams: List[List[np.ndarray]], mask: np.ndarray, rng: np.random.Generator
+) -> Tuple[List[List[np.ndarray]], np.ndarray]:
+    """One non-shape op + one shape-changing op, clip-consistent, shape-restoring."""
+    from PIL import Image
+
+    streams, mask = clip_augment(streams, mask, rng)
+    h, w = mask.shape[:2]
+    op = int(rng.integers(0, 3))
+    if op == 0:
+        # mask-preserving random crop (``randaugment.py:291-310``)
+        box = _mask_bbox(mask)
+        if box is not None:
+            l, t, r, b = box
+            cl = int(rng.integers(0, l - 1)) if l > 1 else 0
+            cr = int(rng.integers(r + 1, w - 1)) if r + 1 < w - 1 else w - 1
+            ct = int(rng.integers(0, t - 1)) if t > 1 else 0
+            cb = int(rng.integers(b + 1, h - 1)) if b + 1 < h - 1 else h - 1
+            streams, mask = _crop_all(streams, mask, (cl, ct, cr, cb))
+        else:
+            op = 1  # fall through to plain random crop (``:294-295``)
+    if op == 1:
+        # plain random crop of a random size (``randaugment.py:263-288``,
+        # v ~ U[20, 220] on 224^2 inputs, scaled to the working resolution)
+        cs = max(4, int(rng.uniform(20, 220) / 224 * min(w, h)))
+        l = int(rng.integers(0, w - cs + 1))
+        t = int(rng.integers(0, h - cs + 1))
+        streams, mask = _crop_all(streams, mask, (l, t, l + cs, t + cs))
+    elif op == 2:
+        # rotate + largest-inscribed-rect crop (``randaugment.py:433-465``)
+        angle = float(rng.uniform(0, 180))
+        rot = lambda a: np.asarray(
+            Image.fromarray(a).rotate(-angle, resample=Image.BILINEAR)
+        )
+        streams = [[rot(fr) for fr in fs] for fs in streams]
+        mask = rot(mask.astype(np.uint8)).astype(mask.dtype)
+        streams, mask = _crop_all(streams, mask, _rot_crop_box(w, h, angle))
+    return _resize_back(streams, mask, (w, h))

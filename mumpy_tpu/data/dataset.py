@@ -27,7 +27,7 @@ import numpy as np
 from PIL import Image
 
 from ..configs.data_config import MEAN, STD, DataConfig
-from .augment import clip_augment
+from .augment import clip_augment, double_clip_augment
 from .db import SequenceInfo, read_sequences
 
 
@@ -133,7 +133,8 @@ class ClipDataset:
         annot = _load_annot(annot_path, res)
 
         if self.split == "train" and cfg.augment and rng is not None:
-            raw_streams, annot = clip_augment(raw_streams, annot, rng)
+            aug = clip_augment if cfg.single_augment else double_clip_augment
+            raw_streams, annot = aug(raw_streams, annot, rng)
 
         streams = [normalize(np.stack(f, axis=0)) for f in raw_streams]
         mask = binarize_mask(annot).reshape(-1)

@@ -105,12 +105,69 @@ class SwinDAttention(nn.Module):
         return out
 
 
+class CrossWindowAttention(nn.Module):
+    """Softmax window cross-attention with relative-position bias — the reference's
+    alternative (non-deformable) CVA design (``multiTemporalViewEncoder.py:18-124``;
+    not instantiated by the published model, selectable here via
+    ``MumpyConfig.cva_kind="window"``).
+
+    Q from view_i windows, K/V from view_{i+1} windows; when the partner has
+    ``ratio``x more windows (temporal folding) queries are tiled and outputs are
+    summed back over the ratio axis (``:83,100-103``).  Projections are
+    zero-initialised (``:61-63``) so the branch starts as an identity residual.
+    """
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        from .swin import relative_position_index
+
+        b1, n, c = x1.shape
+        b2 = x2.shape[0]
+        ratio = b2 // b1
+        h = self.num_heads
+        hd = c // h
+        zeros = nn.initializers.zeros
+
+        q = nn.Dense(c, kernel_init=trunc_init, bias_init=zeros, name="qkv1")(x1)
+        kv = nn.Dense(2 * c, kernel_init=trunc_init, bias_init=zeros, name="qkv2")(x2)
+        k, v = kv[..., :c], kv[..., c:]
+
+        q = jnp.tile(q, (ratio, 1, 1)) * (hd**-0.5)
+        qh = q.reshape(b2, n, h, hd)
+        kh = k.reshape(b2, n, h, hd)
+        vh = v.reshape(b2, n, h, hd)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.window - 1) ** 2, h),
+        )
+        idx = jnp.asarray(relative_position_index(self.window, self.window))
+        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) + bias[None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b2, n, c)
+        if ratio > 1:
+            out = out.reshape(b1, ratio, n, c).sum(axis=1)
+        out = nn.Dense(c, kernel_init=zeros, bias_init=zeros, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
 class CVAModule(nn.Module):
     """CVA residual wrapper (``multiTemporalViewEncoder.py:127-139``).
 
     Parameters of this module live under a path containing ``cva`` — the trainer's
     learning-rate group split keys on that substring exactly like the reference's
-    optimizer partition (``train.py:205-209``).
+    optimizer partition (``train.py:205-209``).  ``kind`` selects the deformable
+    (published) or window softmax (design-space) cross-view attention.
     """
 
     dim: int
@@ -118,12 +175,21 @@ class CVAModule(nn.Module):
     window: int = 7
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    kind: str = "deformable"
 
     @nn.compact
     def __call__(self, x1, x2, deterministic: bool = True):
-        y = SwinDAttention(
-            self.dim, self.num_heads, n_groups=3, window=self.window,
-            attn_drop=self.attn_drop, name="crossattn",
-        )(x1, x2, deterministic)
+        if self.kind == "deformable":
+            y = SwinDAttention(
+                self.dim, self.num_heads, n_groups=3, window=self.window,
+                attn_drop=self.attn_drop, name="crossattn",
+            )(x1, x2, deterministic)
+        elif self.kind == "window":
+            y = CrossWindowAttention(
+                self.dim, self.num_heads, window=self.window,
+                attn_drop=self.attn_drop, name="crossattn",
+            )(x1, x2, deterministic)
+        else:
+            raise ValueError(f"unknown cva kind {self.kind!r}")
         rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         return x1 + drop_path(y, self.drop_path_rate, deterministic, rng)

@@ -75,6 +75,7 @@ class CrossSwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     last_view: bool = False
     temporal_dims: int = 1  # temporal fold of the *partner* (x2) stream
+    cva_kind: str = "deformable"
 
     @nn.compact
     def __call__(self, x1, x2, deterministic: bool = True):
@@ -106,7 +107,8 @@ class CrossSwinBlock(nn.Module):
             x2w = nn.Dense(self.dim1, kernel_init=trunc_init, name="pre")(x2w)
             yw = CVAModule(
                 self.dim1, self.num_heads, window=window,
-                attn_drop=self.attn_drop, drop_path_rate=self.drop_path_rate, name="cva",
+                attn_drop=self.attn_drop, drop_path_rate=self.drop_path_rate,
+                kind=self.cva_kind, name="cva",
             )(x1w, x2w, deterministic)
             # '(b n) ws c -> b (n ws) c' with b = B1  (``:285``)
             y = yw.reshape(b1, -1, c1)
@@ -188,14 +190,14 @@ class ThreeViewStages(nn.Module):
                 vcfgs[1].hidden_size[s], vcfgs[2].hidden_size[s], res,
                 vcfgs[1].num_heads[s], window_size=vcfgs[1].window_size,
                 drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                drop_path_rate=dp0, temporal_dims=1,
+                drop_path_rate=dp0, temporal_dims=1, cva_kind=cfg.cva_kind,
                 name=f"stage{s}_cross_view2",
             )
             blk1 = CrossSwinBlock(
                 vcfgs[0].hidden_size[s], vcfgs[1].hidden_size[s], res,
                 vcfgs[0].num_heads[s], window_size=vcfgs[0].window_size,
                 drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                drop_path_rate=dp0, temporal_dims=1,
+                drop_path_rate=dp0, temporal_dims=1, cva_kind=cfg.cva_kind,
                 name=f"stage{s}_cross_view1",
             )
             x[2], out2 = blk3(x[2], x[2], deterministic)

@@ -108,6 +108,34 @@ def test_indexed_png_roundtrip(tmp_path):
     assert palette is not None and tuple(palette[1]) == (128, 0, 0)
 
 
+def test_double_augment_strategy(fake_davis):
+    """DoubleAugmentStrategy (``randaugment.py:606-631``): shape-changing op then
+    restored to the working resolution; mask stays binary and frames stay uint8."""
+    from mumpy_tpu.data.augment import double_clip_augment
+
+    rng = np.random.default_rng(0)
+    frames = [[rng.integers(0, 255, (32, 32, 3), dtype=np.uint8) for _ in range(3)]
+              for _ in range(2)]
+    mask = np.zeros((32, 32), np.float32)
+    mask[10:20, 12:24] = 255.0
+    for seed in range(8):
+        s2, m2 = double_clip_augment(
+            [list(f) for f in frames], mask.copy(), np.random.default_rng(seed)
+        )
+        assert m2.shape == (32, 32) and s2[0][0].shape == (32, 32, 3)
+        assert s2[0][0].dtype == np.uint8
+
+
+def test_double_augment_in_dataset(fake_davis):
+    import dataclasses
+
+    cfg = dataclasses.replace(fake_davis, single_augment=False)
+    ds = ClipDataset(cfg, "train")
+    streams, mask, _, _ = ds.load_clip(0, np.random.default_rng(1))
+    assert streams[0].shape == (3, 16, 16, 3)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+
+
 def test_get_dataset_facade(fake_davis):
     from mumpy_tpu.data.dataset import get_dataset
 

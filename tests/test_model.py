@@ -54,6 +54,28 @@ def test_cva_params_identifiable(tiny_model):
     assert all(k[0] == "encoder" for k in cva)
 
 
+def test_window_cva_variant():
+    """cva_kind="window" (the reference's CrossWindowAttention design alternative,
+    ``multiTemporalViewEncoder.py:18-124``) builds, runs and differentiates."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), cva_kind="window")
+    model = Mumpy(cfg)
+    clip = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 3, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), clip)
+    out = model.apply(params, clip)
+    assert out.shape == (1, cfg.image_size, cfg.image_size, 1)
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params["params"])
+    assert any("qkv2" in k for key in flat for k in key), "window CVA params present"
+    g = jax.grad(lambda p: jnp.mean(model.apply(p, clip) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
 def test_deterministic_is_pure(tiny_model):
     cfg, model, params, clip = tiny_model
     a = model.apply(params, clip)
