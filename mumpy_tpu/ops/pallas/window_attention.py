@@ -68,19 +68,21 @@ def enabled() -> bool:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, n_valid):
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    # matmuls run on the inputs' native dtype (bf16 on the inference path) with
+    # f32 MXU accumulation; only the softmax itself is f32
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (TILE, N_PAD, N_PAD)
+    )  # (TILE, N_PAD, N_PAD) f32
     scores = scores * scale + bias_ref[:].astype(jnp.float32)
     npad = scores.shape[-1]
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
     scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     out = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -112,7 +114,7 @@ def fused_window_attention(q, k, v, bias, interpret: bool = False):
     #  * large period (e.g. windows*heads = 768 at stage 0): tile = divisor of
     #    the period; the bias block is selected per grid step by periodic
     #    indexing, never materializing period*npad^2 rows in VMEM at once.
-    target = 64
+    target = 128 if q.dtype.itemsize <= 2 else 64
     if p_period <= target:
         tile = p_period * max(1, target // p_period)
         while r % tile != 0:
