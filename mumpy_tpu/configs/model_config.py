@@ -52,6 +52,9 @@ class MumpyConfig:
     # :218-405``) or "window" (softmax W-CVMSA alternative, ``multiTemporalViewEncoder
     # .py:18-124``)
     cva_kind: str = "deformable"
+    # rematerialize the scanned block-pair bodies under grad: trades ~1 extra
+    # forward of the deep stages for O(depth) -> O(1) activation memory
+    remat: bool = True
     # decoder
     decoder_num_classes: int = 32
     decoder_dap_k: int = 2

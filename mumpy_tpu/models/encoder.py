@@ -216,8 +216,11 @@ class ThreeViewStages(nn.Module):
                 # (``multiTemporalViewEncoder.py:407,421,435``)
                 shift = vcfgs[0].window_size // 2
                 if n_pairs > 0:
+                    # remat the scan body: O(1) activation memory over the deep
+                    # stage at the cost of one extra forward under grad
+                    body = nn.remat(PlainBlockPair) if cfg.remat else PlainBlockPair
                     ScannedPairs = nn.scan(
-                        PlainBlockPair,
+                        body,
                         variable_axes={"params": 0},
                         split_rngs={"params": True, "dropout": True},
                         in_axes=0,

@@ -114,7 +114,9 @@ def fused_window_attention(q, k, v, bias, interpret: bool = False):
     #  * large period (e.g. windows*heads = 768 at stage 0): tile = divisor of
     #    the period; the bias block is selected per grid step by periodic
     #    indexing, never materializing period*npad^2 rows in VMEM at once.
-    target = 128 if q.dtype.itemsize <= 2 else 64
+    # 64 rows/step keeps the worst case (f32 bias + score temps, double-buffered
+    # q/k/v/out) under the 16MB scoped-VMEM limit for both f32 and bf16 inputs
+    target = 64
     if p_period <= target:
         tile = p_period * max(1, target // p_period)
         while r % tile != 0:
