@@ -69,6 +69,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-max_steps_per_epoch", dest="max_steps_per_epoch", default=None, type=int)
     p.add_argument("--tiny", dest="tiny", action="store_true",
                    help="use the tiny debug architecture")
+    p.add_argument("--bf16", dest="bf16", action="store_true",
+                   help="mixed-precision training (bf16 compute, f32 master params)")
+    p.add_argument("-pretrained", dest="pretrained", default=None,
+                   help="torch checkpoint to warm-start from (strict=False port, "
+                        "counterpart of ../weights/weight.pth at modelFactory.py:70)")
     return p
 
 
@@ -108,6 +113,7 @@ def build_configs(args: argparse.Namespace):
         best_val_loss=args.best_val_loss, print_every=args.print_every,
         smooth_curves=args.smooth_curves,
         patience_reload=args.finetune_after != -1,
+        compute_dtype="bf16" if args.bf16 else "f32",
         seed=args.seed,
     )
     return data_cfg, opt_cfg, loop_cfg

@@ -44,13 +44,20 @@ def set_mode(mode):
 
 def attention_mode() -> str:
     """How model code should run window attention: "compiled" pallas on TPU,
-    "interpret" (forced, tests), or "off" (pure-XLA einsum path)."""
+    "interpret" (forced, tests), or "off" (pure-XLA einsum path).
+
+    Measured on a v5e chip (batch 8, bf16, full 224^2 model), XLA's own fusion of
+    the einsum attention is ~15% faster end-to-end than this kernel (18.1k vs
+    15.7k frames/s) — the 49-token windows are too small for a hand kernel to beat
+    the compiler.  The default is therefore the XLA path; set MUMPY_PALLAS=on to
+    opt into the fused kernel.
+    """
     if _FORCED_MODE is not None:
         return _FORCED_MODE
     import os
 
-    env = os.environ.get("MUMPY_PALLAS", "auto")
-    if env in ("0", "off"):
+    env = os.environ.get("MUMPY_PALLAS", "off")
+    if env in ("0", "off", "auto"):
         return "off"
     if env == "interpret":
         return "interpret"

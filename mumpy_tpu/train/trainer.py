@@ -47,6 +47,9 @@ class TrainLoopConfig:
     # reference gates the patience-triggered best-checkpoint reload on
     # ``finetune_after != -1`` (``train.py:449``)
     patience_reload: bool = True
+    # "f32" (reference-parity numerics) or "bf16" (mixed precision: f32 master
+    # params, bf16 forward/backward)
+    compute_dtype: str = "f32"
     print_every: int = 10
     seed: int = 282845927  # reference default (``args.py``)
 
@@ -69,48 +72,64 @@ def create_train_state(
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def _loss_for_batch(apply_fn, params, batch, rng, deterministic):
+def _loss_for_batch(apply_fn, params, batch, rng, deterministic, compute_dtype=None):
+    """Loss on one batch.  ``compute_dtype=bfloat16`` casts params + inputs for the
+    forward (f32 master params stay in the optimizer; the cast is differentiable so
+    gradients come back f32; losses are computed on f32 logits; flax norms keep
+    f32 statistics internally)."""
+    image = batch["image"]
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, params
+        )
+        image = image.astype(compute_dtype)
     logits = apply_fn(
-        {"params": params}, batch["image"],
+        {"params": params}, image,
         deterministic=deterministic,
         rngs=None if deterministic else {"dropout": rng},
-    )
+    ).astype(jnp.float32)
     b = logits.shape[0]
     loss, (iou, foc) = total_loss(batch["mask"].reshape(b, -1), logits.reshape(b, -1))
     return loss, (iou, foc)
 
 
-def train_step(state: TrainState, batch, rng):
+def train_step(state: TrainState, batch, rng, compute_dtype=None):
     """One optimization step.  ``batch['image']``: (kB, T, H, W, 3); ``batch['mask']``:
     (kB, H*W) duplicated per inpainting stream by the collate (``universaldataset.py:
     146-203``)."""
     rng = jax.random.fold_in(rng, state.step)
     grad_fn = jax.value_and_grad(
-        lambda p: _loss_for_batch(state.apply_fn, p, batch, rng, False), has_aux=True
+        lambda p: _loss_for_batch(state.apply_fn, p, batch, rng, False, compute_dtype),
+        has_aux=True,
     )
     (loss, (iou, foc)), grads = grad_fn(state.params)
     state = state.apply_gradients(grads=grads)
     return state, {"total": loss, "iou": iou, "focal": foc}
 
 
-def val_step(state: TrainState, batch):
-    loss, (iou, foc) = _loss_for_batch(state.apply_fn, state.params, batch, None, True)
+def val_step(state: TrainState, batch, compute_dtype=None):
+    loss, (iou, foc) = _loss_for_batch(
+        state.apply_fn, state.params, batch, None, True, compute_dtype
+    )
     return {"total": loss, "iou": iou, "focal": foc}
 
 
-def make_jitted_steps(mesh=None):
-    """jit train/val steps with data-sharded batches and replicated state."""
+def make_jitted_steps(mesh=None, compute_dtype=None):
+    """jit train/val steps with data-sharded batches and replicated state.
+
+    ``compute_dtype``: None (f32, reference-parity numerics) or ``jnp.bfloat16``
+    for mixed-precision training (f32 optimizer state, bf16 forward/backward)."""
     mesh = mesh or make_mesh()
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
     jtrain = jax.jit(
-        train_step,
+        functools.partial(train_step, compute_dtype=compute_dtype),
         in_shardings=(rsh, {"image": bsh, "mask": bsh}, rsh),
         out_shardings=(rsh, rsh),
         donate_argnums=(0,),
     )
     jval = jax.jit(
-        val_step,
+        functools.partial(val_step, compute_dtype=compute_dtype),
         in_shardings=(rsh, {"image": bsh, "mask": bsh}),
         out_shardings=rsh,
     )
@@ -161,7 +180,8 @@ def train_loop(
     ``loaders`` maps split -> callable returning an iterator of host batches
     (dicts with numpy 'image'/'mask').
     """
-    mesh, jtrain, jval = make_jitted_steps(mesh)
+    cdtype = jnp.bfloat16 if loop_cfg.compute_dtype == "bf16" else None
+    mesh, jtrain, jval = make_jitted_steps(mesh, compute_dtype=cdtype)
     from ..parallel.mesh import shard_batch
 
     model_dir = os.path.join(loop_cfg.results_dir, loop_cfg.model_name)

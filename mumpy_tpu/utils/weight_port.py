@@ -360,3 +360,32 @@ def port_state_dicts(
         raise ValueError(f"unmatched={unmatched[:5]} untouched={untouched[:5]}")
     report = {"unmatched_torch_keys": unmatched, "untouched_flax_paths": untouched}
     return traverse_util.unflatten_dict(flat), report
+
+
+def load_pretrained(params: Dict, path: str, verbose: bool = True) -> Dict:
+    """strict=False-style warm start from a torch checkpoint file — the
+    counterpart of the reference's ``load_model_weights(model, "../weights/
+    weight.pth", strict=False)`` at model construction (``modelFactory.py:8-14,
+    70-71``).
+
+    Accepts a raw state_dict, a {"encoder": sd, "decoder": sd} pair, or a
+    checkpoint with "state_dict"/"model" nesting.  Keys that do not map (extra
+    heads, missing CVA weights in an ImageNet init, ...) are skipped.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "encoder" in blob and "decoder" in blob:
+        enc_sd, dec_sd = blob["encoder"], blob["decoder"]
+    else:
+        sd = blob.get("state_dict", blob.get("model", blob)) if isinstance(blob, dict) else blob
+        enc_sd, dec_sd = sd, {}
+    to_np = lambda d: {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                       for k, v in d.items()}
+    new_params, report = port_state_dicts(to_np(enc_sd), to_np(dec_sd), params)
+    if verbose:
+        print(
+            f"loaded {path}: {len(report['unmatched_torch_keys'])} torch keys skipped, "
+            f"{len(report['untouched_flax_paths'])} flax params left at init"
+        )
+    return new_params

@@ -54,17 +54,28 @@ def main():
         return jax.nn.sigmoid(logits)
 
     ds = ClipDataset(data_cfg, args.eval_split)
-    loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    # unlike the reference's fixed batch-1 loop (``test.py:41-45``), inference is
+    # batched: clips are padded to a full batch so one compiled program serves all
+    bs = max(1, args.batch_size)
+    loader = DataLoader(ds, batch_size=bs, shuffle=False, drop_last=False,
+                        num_workers=data_cfg.num_workers)
     out_root = os.path.join(model_dir, f"masks_{args.dataset}")
 
     for batch in loader:
-        probs = np.asarray(forward(jnp.asarray(batch["image"])))  # (1, H, W, 1)
-        mask = (probs[0, :, :, 0] > 0.5).astype(np.uint8) * 255
-        seq = batch["seq_name"][0]
-        frame = batch["starting_frame"][0]
-        seq_dir = os.path.join(out_root, seq)
-        os.makedirs(seq_dir, exist_ok=True)
-        Image.fromarray(mask).save(os.path.join(seq_dir, f"{frame:04d}_instance_00.png"))
+        imgs = batch["image"]
+        n = imgs.shape[0]
+        if n < bs:  # pad the tail batch to keep shapes static
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n, axis=0)], axis=0)
+        probs = np.asarray(forward(jnp.asarray(imgs)))  # (bs, H, W, 1)
+        for i in range(n):
+            mask = (probs[i, :, :, 0] > 0.5).astype(np.uint8) * 255
+            seq = batch["seq_name"][i]
+            frame = batch["starting_frame"][i]
+            seq_dir = os.path.join(out_root, seq)
+            os.makedirs(seq_dir, exist_ok=True)
+            Image.fromarray(mask).save(
+                os.path.join(seq_dir, f"{frame:04d}_instance_00.png")
+            )
     print(f"Masks written to {out_root}")
 
 

@@ -60,6 +60,30 @@ def test_sharded_train_step_runs_and_learns(setup):
     assert np.isfinite(float(vm["total"]))
 
 
+def test_bf16_train_step(setup):
+    """Mixed precision: bf16 forward/backward with f32 master params still learns."""
+    cfg, opt, _ = setup
+    state = create_train_state(cfg, opt, iter_max=100, rng=jax.random.PRNGKey(2))
+    mesh, jtrain, _ = make_jitted_steps(make_mesh(), compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    batch = {
+        "image": rng.standard_normal((8, 3, cfg.image_size, cfg.image_size, 3)).astype(np.float32),
+        "mask": (rng.uniform(size=(8, cfg.image_size * cfg.image_size)) > 0.8).astype(np.float32),
+    }
+    batch = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(4):
+        state, m = jtrain(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(m["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # master params stay f32
+    assert all(
+        x.dtype == jnp.float32
+        for x in jax.tree_util.tree_leaves(state.params)
+    )
+
+
 def test_accumulation_steps(setup):
     cfg, _, _ = setup
     opt = OptimConfig(accumulation_steps=2)

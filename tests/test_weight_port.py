@@ -189,6 +189,41 @@ def test_port_covers_everything():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_load_pretrained_from_torch_file(tmp_path):
+    """load_pretrained: torch .pth file -> strict=False-style warm start
+    (``modelFactory.py:8-14,70-71``)."""
+    import torch
+    import jax.numpy as jnp
+    import functools
+    import mumpy_tpu.utils.weight_port as wp
+
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    clip = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+
+    enc_sd, dec_sd = build_reference_state_dicts(cfg)
+    blob = {
+        "encoder": {k: torch.from_numpy(v.astype(np.float32)) for k, v in enc_sd.items()},
+        "decoder": {k: torch.from_numpy(v.astype(np.float32)) for k, v in dec_sd.items()},
+    }
+    path = str(tmp_path / "weight.pth")
+    torch.save(blob, path)
+
+    depths = tuple(v.depths for v in cfg.views)
+    orig = wp.encoder_key_map
+    wp.encoder_key_map = functools.partial(orig, view_depths=depths)
+    try:
+        new_params = wp.load_pretrained(params, path, verbose=False)
+    finally:
+        wp.encoder_key_map = orig
+    flat = flatten_dict(new_params)
+    np.testing.assert_allclose(
+        flat[("encoder", "globalembedding", "kernel")],
+        enc_sd["globalembedding.weight"].T,
+    )
+
+
 def _port_with_depths(enc_sd, dec_sd, params, depths):
     """Port with tiny-config view depths instead of the flagship defaults."""
     import functools

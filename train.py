@@ -39,6 +39,10 @@ def main():
     state = create_train_state(
         model_cfg, opt_cfg, iter_max, jax.random.PRNGKey(loop_cfg.seed)
     )
+    if args.pretrained:
+        from mumpy_tpu.utils.weight_port import load_pretrained
+
+        state = state.replace(params=load_pretrained(state.params, args.pretrained))
     if args.resume:
         model_dir = os.path.join(loop_cfg.results_dir, loop_cfg.model_name)
         restored = (
