@@ -3,12 +3,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: a scalar data dependency is chained through the iterations (each
+step's input is perturbed by the previous step's output) and the final carry is
+FETCHED to the host, which forces the entire chain to execute.  Weaker syncs
+report fantasy numbers through the remote-TPU tunnel: `block_until_ready` on an
+un-fetched buffer resolves without proving execution (a known-size 8192^3 matmul
+"ran" at 130x chip peak under it; with the fetch it lands at 189 TFLOP/s, i.e.
+~96% of v5e bf16 peak, validating this harness).  Throughput is taken as the
+slope between a short and a long chain so the one-time round-trip cancels.
+
 Baseline note: the reference repo publishes no throughput numbers (BASELINE.md).
 ``vs_baseline`` therefore compares against an analytic estimate of the PyTorch
 reference on its published rig (RTX 3090 Ti): forward FLOPs are taken from XLA's
 cost analysis of our (architecture-identical) forward, and the 3090 Ti is credited
 35.6 TFLOP/s fp32 peak at 40% sustained utilization — generous for research-grade
-eager PyTorch.  The BASELINE.json north-star target is vs_baseline > 10.
+eager PyTorch.
 """
 
 import argparse
@@ -41,7 +50,7 @@ def main():
         rng.standard_normal((args.batch, 3, cfg.image_size, cfg.image_size, 3)),
         dtype=jnp.float32,
     )
-    params = model.init(jax.random.PRNGKey(0), clip[:1])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), clip[:1])
 
     if dtype == jnp.bfloat16:
         params = jax.tree_util.tree_map(
@@ -49,29 +58,39 @@ def main():
         )
 
     @jax.jit
-    def forward(params, clip):
-        out = model.apply(params, clip.astype(dtype), deterministic=True)
-        return jax.nn.sigmoid(out.astype(jnp.float32))
+    def step(params, clip, carry):
+        """One forward whose input depends on the previous step's output."""
+        out = model.apply(
+            params, (clip * (1.0 + carry)).astype(dtype), deterministic=True
+        )
+        probs = jax.nn.sigmoid(out.astype(jnp.float32))
+        return jnp.mean(probs) * 1e-6  # scalar carry -> serial dependency
 
     # compile + flops estimate
-    lowered = forward.lower(params, clip)
+    carry = jnp.float32(0.0)
+    lowered = step.lower(params, clip, carry)
     compiled = lowered.compile()
     cost = compiled.cost_analysis() or {}
     flops = float(cost.get("flops", 0.0))
 
-    out = forward(params, clip)
-    jax.block_until_ready(out)
-    for _ in range(args.warmup):
-        jax.block_until_ready(forward(params, clip))
+    def run_chain(n):
+        c = jnp.float32(0.0)
+        c = step(params, clip, c)
+        float(c)  # warm fetch
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = step(params, clip, c)
+        v = float(c)  # force the whole chain to execute
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = forward(params, clip)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    run_chain(args.warmup)
+    n_short = max(2, args.iters // 4)
+    t_short = run_chain(n_short)
+    t_long = run_chain(args.iters)
+    dt_per_iter = (t_long - t_short) / (args.iters - n_short)
 
-    frames = args.batch * args.iters  # one localized center-frame per clip
-    fps = frames / dt
+    fps = args.batch / dt_per_iter  # one localized center-frame per clip
 
     # analytic reference estimate (see module docstring)
     flops_per_clip = flops / args.batch if flops else 0.0

@@ -76,7 +76,7 @@ class SwinDAttention(nn.Module):
             rng_scale = jnp.asarray([1.0 / ws, 1.0 / ws], dtype=off.dtype)
             off = jnp.tanh(off) * rng_scale * self.offset_range_factor
 
-        pos = off + jnp.asarray(_reference_points(ws, ws))  # (B2*g, ws, ws, 2) (y, x)
+        pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)  # (B2*g, ws, ws, 2) (y, x)
         grid = pos[..., ::-1].reshape(b2 * g, n, 2)  # -> (x, y) order
 
         # ---- sample the partner view per offset group ----

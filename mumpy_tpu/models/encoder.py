@@ -217,8 +217,11 @@ class ThreeViewStages(nn.Module):
                 shift = vcfgs[0].window_size // 2
                 if n_pairs > 0:
                     # remat the scan body: O(1) activation memory over the deep
-                    # stage at the cost of one extra forward under grad
-                    body = nn.remat(PlainBlockPair) if cfg.remat else PlainBlockPair
+                    # stage at the cost of one extra forward under grad.  Only on
+                    # the training path — checkpoint barriers restrict XLA fusion,
+                    # which pure inference should not pay for.
+                    use_remat = cfg.remat and not deterministic
+                    body = nn.remat(PlainBlockPair) if use_remat else PlainBlockPair
                     ScannedPairs = nn.scan(
                         body,
                         variable_axes={"params": 0},

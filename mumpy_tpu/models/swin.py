@@ -41,7 +41,8 @@ def drop_path(x: jnp.ndarray, rate, deterministic: bool, rng) -> jnp.ndarray:
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return x * mask.astype(x.dtype) / keep
+    # divide in x's dtype: a traced f32 `rate` must not promote bf16 activations
+    return x * (mask.astype(x.dtype) / jnp.asarray(keep, x.dtype))
 
 
 @functools.lru_cache(maxsize=None)
@@ -124,10 +125,12 @@ class WindowAttention(nn.Module):
             out = out.reshape(b, h, n, hd).transpose(0, 2, 1, 3).reshape(b, n, c)
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            attn = attn + bias[None]
+            attn = attn + bias[None].astype(attn.dtype)
             if mask is not None:
+                # cast: the f32 mask must not promote bf16 scores (f32 MXU
+                # matmuls run at a fraction of the bf16 rate)
                 nw = mask.shape[0]
-                attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None]
+                attn = attn.reshape(b // nw, nw, h, n, n) + mask[None, :, None].astype(attn.dtype)
                 attn = attn.reshape(b, h, n, n)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
