@@ -1,0 +1,87 @@
+"""Parity of the fused whole-Swin-block kernel vs straight-line XLA math."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mumpy_tpu.ops.pallas.swin_block import fused_swin_block, supported
+
+
+def _make_weights(rng, c, m):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+    return {
+        "ln1_scale": jnp.ones((c,)), "ln1_bias": jnp.zeros((c,)),
+        "qkv_kernel": r(c, 3 * c), "qkv_bias": r(3 * c),
+        "proj_kernel": r(c, c), "proj_bias": r(c),
+        "ln2_scale": jnp.ones((c,)) * 1.1, "ln2_bias": r(c),
+        "fc1_kernel": r(c, m), "fc1_bias": r(m),
+        "fc2_kernel": r(m, c), "fc2_bias": r(c),
+    }
+
+
+def _ln(x, s, b, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * s + b
+
+
+def _reference_block(x, mask_bias, w, heads):
+    r, n, c = x.shape
+    hd = c // heads
+    h1 = _ln(x, w["ln1_scale"], w["ln1_bias"])
+    qkv = h1 @ w["qkv_kernel"] + w["qkv_bias"]
+    qkv = qkv.reshape(r, n, 3, heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = jnp.einsum("rqhd,rkhd->rhqk", q * hd**-0.5, k)
+    p_w = mask_bias.shape[0]
+    mb = jnp.tile(mask_bias, (r // p_w, 1, 1, 1))
+    attn = jax.nn.softmax(attn + mb, axis=-1)
+    o = jnp.einsum("rhqk,rkhd->rqhd", attn, v).reshape(r, n, c)
+    x = x + (o @ w["proj_kernel"] + w["proj_bias"])
+    h2 = _ln(x, w["ln2_scale"], w["ln2_bias"])
+    y = jax.nn.gelu(h2 @ w["fc1_kernel"] + w["fc1_bias"], approximate=False)
+    return x + (y @ w["fc2_kernel"] + w["fc2_bias"])
+
+
+@pytest.mark.parametrize("shift,tdim", [(0, 1), (2, 1), (0, 3)])
+def test_swin_block_module_fused_matches_xla(shift, tdim):
+    """The model's SwinBlock gives identical deterministic outputs on the fused
+    (interpret pallas) and XLA paths, incl. shifted windows and temporal folds."""
+    from mumpy_tpu.models.swin import SwinBlock
+    from mumpy_tpu.ops.pallas import swin_block as psb
+
+    rng = np.random.default_rng(4)
+    b, hw, c, heads, win = 2, 8, 24, 3, 4
+    x = jnp.asarray(rng.standard_normal((b, tdim * hw * hw, c)), jnp.float32)
+    blk = SwinBlock(dim=c, input_resolution=(hw, hw), num_heads=heads,
+                    window_size=win, shift_size=shift, temporal_dim=tdim)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    try:
+        psb.set_mode("off")
+        ref = blk.apply(params, x)
+        psb.set_mode("interpret")
+        got = blk.apply(params, x)
+    finally:
+        psb.set_mode(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
+
+
+@pytest.mark.parametrize("case", [
+    dict(nW=4, b=2, n=49, c=96, heads=3, period=1),     # unshifted, small period
+    dict(nW=4, b=2, n=49, c=96, heads=3, period=4),     # shifted: period == nW
+    dict(nW=12, b=2, n=16, c=64, heads=2, period=12),   # larger window count
+])
+def test_fused_swin_block_matches_reference(case):
+    rng = np.random.default_rng(0)
+    r = case["nW"] * case["b"]
+    n, c, heads = case["n"], case["c"], case["heads"]
+    x = jnp.asarray(rng.standard_normal((r, n, c)), jnp.float32)
+    mb = jnp.asarray(rng.standard_normal((case["period"], heads, n, n)), jnp.float32)
+    w = _make_weights(rng, c, 4 * c)
+    assert supported(c, 4 * c, n)
+
+    got = fused_swin_block(x, mb, w, heads=heads, interpret=True)
+    ref = _reference_block(x, mb, w, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
