@@ -57,6 +57,11 @@ def main():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
         )
 
+    # serving mode: capture kernel-ready fused-block operands once
+    from mumpy_tpu.utils.serving import prepare_for_inference
+
+    params = prepare_for_inference(model, params, clip.astype(dtype))
+
     @jax.jit
     def step(params, clip, carry):
         """One forward whose input depends on the previous step's output."""

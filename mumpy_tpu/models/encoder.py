@@ -224,7 +224,7 @@ class ThreeViewStages(nn.Module):
                     body = nn.remat(PlainBlockPair) if use_remat else PlainBlockPair
                     ScannedPairs = nn.scan(
                         body,
-                        variable_axes={"params": 0},
+                        variable_axes={"params": 0, "prepared": 0},
                         split_rngs={"params": True, "dropout": True},
                         in_axes=0,
                         length=n_pairs,

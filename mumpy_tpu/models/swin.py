@@ -229,34 +229,58 @@ class SwinBlock(nn.Module):
         return x + drop_path(y, dp, deterministic, rng)
 
     def _fused_call(self, x, window: int, shift: int):
-        """Dispatch the whole block to the fused pallas kernel, reading the
-        parameters the XLA path created (same tree, same checkpoint layout)."""
-        v = self.variables["params"]
-        weights = {
-            "ln1_scale": v["norm1"]["scale"], "ln1_bias": v["norm1"]["bias"],
-            "qkv_kernel": v["attn"]["qkv"]["kernel"], "qkv_bias": v["attn"]["qkv"]["bias"],
-            "proj_kernel": v["attn"]["proj"]["kernel"], "proj_bias": v["attn"]["proj"]["bias"],
-            "ln2_scale": v["norm2"]["scale"], "ln2_bias": v["norm2"]["bias"],
-            "fc1_kernel": v["mlp"]["fc1"]["kernel"], "fc1_bias": v["mlp"]["fc1"]["bias"],
-            "fc2_kernel": v["mlp"]["fc2"]["kernel"], "fc2_bias": v["mlp"]["fc2"]["bias"],
-        }
-        table = v["attn"]["relative_position_bias_table"]
-        n = window * window
-        idx = jnp.asarray(relative_position_index(window, window))
-        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        """Dispatch the whole block to the fused pallas kernel.
 
+        The kernel-ready operands (per-head weight splits, padded/tiled mask+
+        bias) are pure layout work on parameters; computing them on-device costs
+        ~10 launches per block per forward.  They are cached in the "prepared"
+        variable collection: a capture run with ``mutable=["prepared"]`` stores
+        them once (``utils/serving.py:prepare_for_inference``), after which
+        serving applies read them for free.  Without the collection they are
+        computed inline (correct, slower)."""
         gh, gw = self.temporal_dim * self.input_resolution[0], self.input_resolution[1]
         b, l, c = x.shape
+        n = window * window
+        nw = (gh // window) * (gw // window)
+        p_w = nw if shift > 0 else 1
+
+        def compute_prepared():
+            v = self.variables["params"]
+            weights = {
+                "ln1_scale": v["norm1"]["scale"], "ln1_bias": v["norm1"]["bias"],
+                "qkv_kernel": v["attn"]["qkv"]["kernel"],
+                "qkv_bias": v["attn"]["qkv"]["bias"],
+                "proj_kernel": v["attn"]["proj"]["kernel"],
+                "proj_bias": v["attn"]["proj"]["bias"],
+                "ln2_scale": v["norm2"]["scale"], "ln2_bias": v["norm2"]["bias"],
+                "fc1_kernel": v["mlp"]["fc1"]["kernel"],
+                "fc1_bias": v["mlp"]["fc1"]["bias"],
+                "fc2_kernel": v["mlp"]["fc2"]["kernel"],
+                "fc2_bias": v["mlp"]["fc2"]["bias"],
+            }
+            table = v["attn"]["relative_position_bias_table"]
+            idx = jnp.asarray(relative_position_index(window, window))
+            bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            if shift > 0:
+                mask = shifted_window_mask(gh, gw, window, shift)
+                mb = mask[:, None].astype(bias.dtype) + bias[None]  # (nW, H, n, n)
+            else:
+                mb = bias[None]  # (1, H, n, n)
+            return pallas_sb.prepare_weights(weights, mb, heads=self.num_heads, r=b * nw)
+
+        if self.has_variable("prepared", "block"):
+            prepared = self.get_variable("prepared", "block")
+        elif self.is_mutable_collection("prepared"):
+            prepared = self.variable("prepared", "block", compute_prepared).value
+        else:
+            prepared = compute_prepared()
+
         xs = x.reshape(b, gh, gw, c)
         if shift > 0:
             xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
-            mask = shifted_window_mask(gh, gw, window, shift)
-            mb = mask[:, None].astype(bias.dtype) + bias[None]  # (nW, H, n, n)
-        else:
-            mb = bias[None]  # (1, H, n, n)
         wins = window_partition(xs, window).reshape(-1, n, c)
-        wins = pallas_sb.fused_swin_block(
-            wins, mb, weights, heads=self.num_heads,
+        wins = pallas_sb.fused_swin_block_prepared(
+            wins, prepared, heads=self.num_heads, n=n, p_w=p_w,
             interpret=pallas_sb.attention_mode() == "interpret",
         )
         xs = window_reverse(wins.reshape(-1, window, window, c), window, gh, gw)

@@ -173,43 +173,39 @@ def _block_kernel(
         out_ref[j : j + wc] = xs + f2.astype(dtype).reshape(wc, npad, c)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
-def fused_swin_block(x, mask_bias, weights, *, heads: int, interpret: bool = False):
-    """Run one full Swin block on partitioned windows.
-
-    x: (R, N, C) window tokens (R = batch * windows, window-major within batch).
-    mask_bias: (P, H, N, N) additive term with period P in windows (P == 1 for
-        unshifted blocks, P == nW for shifted ones); broadcast over batch.
-    weights: dict with ln1/ln2 (scale, bias), qkv (C,3C)+(3C,), proj (C,C)+(C,),
-        fc1 (C,M)+(M,), fc2 (M,C)+(C,).  qkv/proj are split per head here.
-    Returns (R, N, C).
-    """
-    r, n, c = x.shape
-    p_w, h, _, _ = mask_bias.shape
-    assert h == heads
-    hd = c // heads
-    scale = hd**-0.5
-    npad = -(-n // 8) * 8
-
-    # windows per grid step: divisor-or-multiple of the mask period (see
-    # window_attention.fused_window_attention)
-    target = 8
+def _pick_tile(r: int, p_w: int, target: int = 8):
+    """Windows per grid step: divisor-or-multiple of the mask period (see
+    window_attention.fused_window_attention)."""
     if p_w <= target:
         tile = p_w * max(1, target // p_w)
         while r % tile != 0:
             tile -= p_w
-        reps = tile // p_w
-        blocks = 1
-    else:
-        tile = next(t for t in range(target, 0, -1) if p_w % t == 0)
-        reps = 1
-        blocks = p_w // tile
+        return tile, tile // p_w, 1
+    tile = next(t for t in range(target, 0, -1) if p_w % t == 0)
+    return tile, 1, p_w // tile
 
-    xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+
+def prepare_weights(weights, mask_bias, *, heads: int, r: int):
+    """Build the kernel-ready operand dict: per-head weight splits, reshaped
+    biases, and the padded/tiled/transposed additive term.
+
+    This is pure layout work on parameters — executed on-device it costs ~10
+    kernel launches per block per forward, so serving captures the result once
+    (see ``SwinBlock._fused_call``'s "prepared" collection).
+    """
+    c = weights["qkv_kernel"].shape[0]
+    hd = c // heads
+    n = mask_bias.shape[-1]
+    npad = -(-n // 8) * 8
+    p_w = mask_bias.shape[0]
+    _, reps, _ = _pick_tile(r, p_w)
+
     mb = jnp.pad(mask_bias, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
-    if reps > 1:
+    # p_w == 1 (unshifted): keep one row and let the kernel broadcast — the
+    # result is then independent of the serving batch size
+    if p_w > 1 and reps > 1:
         mb = jnp.tile(mb, (reps, 1, 1, 1))
-    mb = mb.transpose(1, 0, 2, 3)  # (H, tile_w, npad, npad)
+    mb = mb.transpose(1, 0, 2, 3)  # (H, tile_w or 1, npad, npad)
 
     w = weights
     wqkv = w["qkv_kernel"]  # (C, 3C): torch/our-flax column order is (3, H, hd)
@@ -217,18 +213,52 @@ def fused_swin_block(x, mask_bias, weights, *, heads: int, interpret: bool = Fal
     wq, wk, wv = (wqkv[:, i * c:(i + 1) * c].reshape(c, heads, hd).transpose(1, 0, 2)
                   for i in range(3))
     bq, bk, bv = (bqkv[i * c:(i + 1) * c].reshape(heads, 1, hd) for i in range(3))
-    wproj = w["proj_kernel"].reshape(heads, hd, c)
-    bproj = w["proj_bias"].reshape(1, c)
+    return {
+        "mb": mb,
+        "ln1s": w["ln1_scale"].reshape(1, c), "ln1b": w["ln1_bias"].reshape(1, c),
+        "wq": wq, "wk": wk, "wv": wv, "bq": bq, "bk": bk, "bv": bv,
+        "wproj": w["proj_kernel"].reshape(heads, hd, c),
+        "bproj": w["proj_bias"].reshape(1, c),
+        "ln2s": w["ln2_scale"].reshape(1, c), "ln2b": w["ln2_bias"].reshape(1, c),
+        "wfc1": w["fc1_kernel"], "bfc1": w["fc1_bias"].reshape(1, -1),
+        "wfc2": w["fc2_kernel"], "bfc2": w["fc2_bias"].reshape(1, c),
+    }
 
-    wl = [w["ln1_scale"].reshape(1, c), w["ln1_bias"].reshape(1, c),
-          wq, wk, wv, bq, bk, bv, wproj, bproj,
-          w["ln2_scale"].reshape(1, c), w["ln2_bias"].reshape(1, c),
-          w["fc1_kernel"], w["fc1_bias"].reshape(1, -1),
-          w["fc2_kernel"], w["fc2_bias"].reshape(1, c)]
+
+_WL_ORDER = ("ln1s", "ln1b", "wq", "wk", "wv", "bq", "bk", "bv",
+             "wproj", "bproj", "ln2s", "ln2b", "wfc1", "bfc1", "wfc2", "bfc2")
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "n", "p_w", "interpret"))
+def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
+                              interpret: bool = False):
+    """Run one full Swin block on partitioned windows with pre-built operands.
+
+    x: (R, N, C) window tokens (R = batch * windows, window-major within batch).
+    prepared: output of :func:`prepare_weights` (``p_w`` is the original mask
+        period in windows).  Returns (R, N, C).
+    """
+    r, _, c = x.shape
+    hd = c // heads
+    scale = hd**-0.5
+    npad = -(-n // 8) * 8
+    tile, _, _ = _pick_tile(r, p_w)
+    mbw = prepared["mb"].shape[1]
+    if mbw == 1:
+        mb_block, mb_index = 1, (lambda i: (0, 0, 0, 0))
+    else:
+        assert mbw % tile == 0, (
+            f"prepared mask tiled for a different batch (mb rows {mbw}, tile "
+            f"{tile}): re-run prepare_for_inference at this batch size")
+        nb = mbw // tile
+        mb_block, mb_index = tile, (lambda i, nb=nb: (0, i % nb, 0, 0))
+
+    xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    wl = [prepared[k] for k in _WL_ORDER]
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
 
-    m = w["fc1_kernel"].shape[1]
+    m = prepared["wfc1"].shape[1]
     flops = r * (8 * n * c * c + 4 * n * n * c + 4 * n * c * m)
     weight_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in wl)
     cost = pl.CostEstimate(
@@ -245,13 +275,25 @@ def fused_swin_block(x, mask_bias, weights, *, heads: int, interpret: bool = Fal
         in_specs=[
             pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (heads, tile, npad, npad),
-                lambda i, nb=blocks: (0, i % nb, 0, 0),
-                memory_space=pltpu.VMEM,
+                (heads, mb_block, npad, npad), mb_index, memory_space=pltpu.VMEM,
             ),
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=cost,
         interpret=interpret,
-    )(xp, mb, *wl)
+    )(xp, prepared["mb"], *wl)
     return out[:, :n, :]
+
+
+def fused_swin_block(x, mask_bias, weights, *, heads: int, interpret: bool = False):
+    """Convenience entry: prepare operands inline, then run the kernel.
+
+    x: (R, N, C) window tokens; mask_bias: (P, H, N, N) additive term with
+    period P in windows; weights: dict with ln1/ln2 (scale, bias), qkv
+    (C,3C)+(3C,), proj (C,C)+(C,), fc1 (C,M)+(M,), fc2 (M,C)+(C,).
+    """
+    prepared = prepare_weights(weights, mask_bias, heads=heads, r=x.shape[0])
+    return fused_swin_block_prepared(
+        x, prepared, heads=heads, n=x.shape[1], p_w=mask_bias.shape[0],
+        interpret=interpret,
+    )

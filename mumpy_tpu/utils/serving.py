@@ -1,0 +1,45 @@
+"""Serving-optimized inference: capture kernel-ready block operands once.
+
+The fused Swin-block kernel needs per-head weight splits and a padded/tiled
+mask+bias term.  Computing those on-device costs ~10 launches per block per
+forward; this module captures them once into the "prepared" flax collection by
+running a single forward with ``mutable=["prepared"]``, after which
+
+    model.apply({"params": params, "prepared": prepared}, clip)
+
+dispatches every fused block with zero per-block preparation work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["prepare_for_inference"]
+
+
+def prepare_for_inference(
+    model, variables: Dict[str, Any], example_clip: jnp.ndarray,
+) -> Dict[str, Any]:
+    """Run one capture forward and return variables with a "prepared" collection.
+
+    ``example_clip`` must have the SERVING batch shape — the tiled shifted-window
+    masks depend on the window count per batch.  Returns the full variables dict
+    ``{"params": ..., "prepared": ...}`` ready for fast ``model.apply``.
+    """
+    from ..ops.pallas import swin_block as psb
+
+    if psb.attention_mode() == "off":
+        return dict(variables)  # nothing to prepare on the XLA path
+
+    @jax.jit
+    def capture(v, clip):
+        _, muts = model.apply(v, clip, deterministic=True, mutable=["prepared"])
+        return muts
+
+    muts = capture(variables, example_clip)
+    out = dict(variables)
+    out["prepared"] = muts["prepared"]
+    return out

@@ -46,11 +46,18 @@ def main():
         print(f"Loaded checkpoint from {model_dir}")
     else:
         print("WARNING: no checkpoint found; using random init")
-    params = state.params
+    # serving mode: capture kernel-ready fused-block operands once
+    from mumpy_tpu.utils.serving import prepare_for_inference
+
+    bs_example = max(1, args.batch_size)
+    example = jnp.zeros(
+        (bs_example, data_cfg.length_clip, args.imsize, args.imsize, 3), jnp.float32
+    )
+    variables = prepare_for_inference(model, {"params": state.params}, example)
 
     @jax.jit
     def forward(clip):
-        logits = model.apply({"params": params}, clip, deterministic=True)
+        logits = model.apply(variables, clip, deterministic=True)
         return jax.nn.sigmoid(logits)
 
     ds = ClipDataset(data_cfg, args.eval_split)

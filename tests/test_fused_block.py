@@ -68,6 +68,39 @@ def test_swin_block_module_fused_matches_xla(shift, tdim):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
 
 
+def test_prepared_serving_path_matches():
+    """prepare_for_inference captures the 'prepared' collection; the fast apply
+    gives identical outputs to the inline-prep fused path and the XLA path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mumpy_tpu.configs.model_config import tiny_config
+    from mumpy_tpu.models.mumpy import Mumpy
+    from mumpy_tpu.ops.pallas import swin_block as psb
+    from mumpy_tpu.utils.serving import prepare_for_inference
+
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    rng = np.random.default_rng(5)
+    clip = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    try:
+        psb.set_mode("off")
+        ref = model.apply(variables, clip)
+        psb.set_mode("interpret")
+        inline = model.apply(variables, clip)
+        prepared = prepare_for_inference(model, variables, clip)
+        assert "prepared" in prepared and prepared["prepared"], "capture stored ops"
+        fast = model.apply(prepared, clip)
+    finally:
+        psb.set_mode(None)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(inline), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=5e-4, rtol=5e-3)
+
+
 @pytest.mark.parametrize("case", [
     dict(nW=4, b=2, n=49, c=96, heads=3, period=1),     # unshifted, small period
     dict(nW=4, b=2, n=49, c=96, heads=3, period=4),     # shifted: period == nW
