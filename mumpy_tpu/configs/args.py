@@ -33,10 +33,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-seq_dir3", dest="seq_dir3", default=None)
     p.add_argument("-annot_dir", dest="annot_dir", default=None)
     p.add_argument("-db_info", dest="db_info", default=None)
-    # optimization (reference defaults: ``args.py``)
-    p.add_argument("-lr", dest="lr", default=1e-3, type=float)
-    p.add_argument("-lr_cnn", dest="lr_cnn", default=0.9e-3, type=float)
-    p.add_argument("-lr_cva", dest="lr_cva", default=1e-6, type=float)
+    # optimization — defaults follow the PUBLISHED RECIPE (``scripts/
+    # train_davis.sh``), not the reference argparse defaults (which are 'adam'
+    # and an lr_cnn of 0.9 that no script uses)
+    p.add_argument("-lr", dest="lr", default=1e-2, type=float)
+    p.add_argument("-lr_cnn", dest="lr_cnn", default=1e-3, type=float)
+    p.add_argument("-lr_cva", dest="lr_cva", default=1e-2, type=float)
     p.add_argument("-optim", dest="optim", default="sgd", choices=["adam", "sgd", "rmsprop"])
     p.add_argument("-optim_cnn", dest="optim_cnn", default="sgd",
                    choices=["adam", "sgd", "rmsprop"])

@@ -101,15 +101,37 @@ def _resize_back(streams, mask, size):
     return streams, rs(mask.astype(np.uint8), Image.NEAREST).astype(mask.dtype)
 
 
+def _apply_geom(streams, mask, f):
+    return [[f(fr) for fr in fs] for fs in streams], f(mask)
+
+
 def double_clip_augment(
     streams: List[List[np.ndarray]], mask: np.ndarray, rng: np.random.Generator
 ) -> Tuple[List[List[np.ndarray]], np.ndarray]:
-    """One non-shape op + one shape-changing op, clip-consistent, shape-restoring."""
+    """One non-shape op + one shape-changing op, clip-consistent, shape-restoring.
+
+    Matches the reference ``DoubleAugmentStrategy`` (``randaugment.py:627-631``):
+    the first op is drawn from the none-shape list {HFlip, VFlip, PsccAug}
+    (``:578-602``, always non-identity), the second from the 4-op shape list
+    {RandomCrop, RandomRotate, OriginalRandomCrop, RandomScaleCrop} (``:606-613``).
+    """
     from PIL import Image
 
-    streams, mask = clip_augment(streams, mask, rng)
     h, w = mask.shape[:2]
-    op = int(rng.integers(0, 3))
+
+    # ---- non-shape op: HFlip / VFlip / Pscc (``none_shape_change_augment_list``)
+    ns = int(rng.integers(0, 3))
+    if ns == 0:
+        f = lambda a: np.ascontiguousarray(a[:, ::-1])
+    elif ns == 1:
+        f = lambda a: np.ascontiguousarray(a[::-1])
+    else:
+        variant = int(rng.integers(0, 7))
+        f = lambda a: np.ascontiguousarray(_pscc(a, variant))
+    streams, mask = _apply_geom(streams, mask, f)
+
+    # ---- shape-changing op (``shape_change_augment_list``)
+    op = int(rng.integers(0, 4))
     if op == 0:
         # mask-preserving random crop (``randaugment.py:291-310``)
         box = _mask_bbox(mask)
@@ -135,7 +157,28 @@ def double_clip_augment(
         rot = lambda a: np.asarray(
             Image.fromarray(a).rotate(-angle, resample=Image.BILINEAR)
         )
-        streams = [[rot(fr) for fr in fs] for fs in streams]
-        mask = rot(mask.astype(np.uint8)).astype(mask.dtype)
+        streams, mask = _apply_geom(streams, mask.astype(np.uint8), rot)
+        mask = mask.astype(np.float32)
         streams, mask = _crop_all(streams, mask, _rot_crop_box(w, h, angle))
+    elif op == 3:
+        # random scale + pad + mask-aware corner crop (``randaugment.py:398-424``)
+        short = int(rng.integers(max(4, h // 2), 2 * h + 1))
+        ow, oh = (short, int(h * short / w)) if h > w else (int(w * short / h), short)
+        rs = lambda a, rl: np.asarray(Image.fromarray(a).resize((ow, oh), rl))
+        streams, _ = _apply_geom(streams, mask.astype(np.uint8),
+                                 lambda a: rs(a, Image.BICUBIC))
+        mask = rs(mask.astype(np.uint8), Image.NEAREST).astype(np.float32)
+        if oh < h or ow < w:  # pad up to the original frame (``:413-418``)
+            ph, pw = max(0, h - oh), max(0, w - ow)
+            pad = lambda a: np.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2))
+            streams, mask = _apply_geom(streams, mask, pad)
+        box = _mask_bbox(mask)
+        if box is not None:  # CornerCrop (``randaugment.py:377-395``)
+            hh, ww = mask.shape[:2]
+            l, t, r, b = box
+            cl = int(rng.integers(0, l - 1)) if l > 1 else 0
+            cr = int(rng.integers(r + 1, ww - 1)) if r + 1 < ww - 1 else ww - 1
+            ct = int(rng.integers(0, t - 1)) if t > 1 else 0
+            cb = int(rng.integers(b + 1, hh - 1)) if b + 1 < hh - 1 else hh - 1
+            streams, mask = _crop_all(streams, mask, (cl, ct, cr, cb))
     return _resize_back(streams, mask, (w, h))

@@ -74,7 +74,6 @@ class CrossSwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     last_view: bool = False
-    temporal_dims: int = 1  # temporal fold of the *partner* (x2) stream
     cva_kind: str = "deformable"
 
     @nn.compact
@@ -183,21 +182,21 @@ class ThreeViewStages(nn.Module):
                 vcfgs[2].hidden_size[s], vcfgs[2].hidden_size[s], res,
                 vcfgs[2].num_heads[s], window_size=vcfgs[2].window_size,
                 drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                drop_path_rate=dp0, last_view=True, temporal_dims=3,
+                drop_path_rate=dp0, last_view=True,
                 name=f"stage{s}_cross_view3",
             )
             blk2 = CrossSwinBlock(
                 vcfgs[1].hidden_size[s], vcfgs[2].hidden_size[s], res,
                 vcfgs[1].num_heads[s], window_size=vcfgs[1].window_size,
                 drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                drop_path_rate=dp0, temporal_dims=1, cva_kind=cfg.cva_kind,
+                drop_path_rate=dp0, cva_kind=cfg.cva_kind,
                 name=f"stage{s}_cross_view2",
             )
             blk1 = CrossSwinBlock(
                 vcfgs[0].hidden_size[s], vcfgs[1].hidden_size[s], res,
                 vcfgs[0].num_heads[s], window_size=vcfgs[0].window_size,
                 drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                drop_path_rate=dp0, temporal_dims=1, cva_kind=cfg.cva_kind,
+                drop_path_rate=dp0, cva_kind=cfg.cva_kind,
                 name=f"stage{s}_cross_view1",
             )
             x[2], out2 = blk3(x[2], x[2], deterministic)

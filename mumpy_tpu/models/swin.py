@@ -206,8 +206,11 @@ class SwinBlock(nn.Module):
         use_fused = (
             deterministic
             and pallas_sb.attention_mode() != "off"
-            and pallas_sb.supported(self.dim, int(self.dim * self.mlp_ratio), window * window)
             and self.has_variable("params", "norm1")
+            and pallas_sb.supported(
+                self.dim, int(self.dim * self.mlp_ratio), window * window,
+                itemsize=self.variables["params"]["mlp"]["fc1"]["kernel"].dtype.itemsize,
+            )
         )
         if use_fused:
             return self._fused_call(x, window, shift)

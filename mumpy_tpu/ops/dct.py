@@ -4,8 +4,8 @@ Reference: ``models/modules/dct.py``.  The frequency branch computes a type-II D
 each frame (a 224x224 matmul sandwich), masks three triangular frequency bands, and
 inverse-transforms each band.  On TPU these are six extra 224x224 matmuls per band —
 pure MXU work.  Band bounds copy the reference's arithmetic exactly:
-low [0, size/2.82], mid [size/2.82, size/2], high [size, 2*size] (``dct.py:66-68``) —
-a pixel (i, j) passes when ``start <= i + j <= end``.
+low [0, size//2.82], mid [size//2.82, size//2], high [size, 2*size]
+(``dct.py:66-68``) — a pixel (i, j) passes when ``start <= i + j <= end``.
 
 The reference hardcodes ``.cuda()`` (``dct.py:16,61-62``); here the matrices are
 ordinary device-agnostic constants.
@@ -33,8 +33,11 @@ def dct_matrix(size: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def band_filters(size: int) -> np.ndarray:
-    """(3, size, size) binary masks for the low/mid/high bands (``dct.py:48-49,66-68``)."""
-    bounds = [(0.0, size / 2.82), (size / 2.82, size / 2), (float(size), 2.0 * size)]
+    """(3, size, size) binary masks for the low/mid/high bands (``dct.py:48-49,66-68``).
+
+    The reference floor-divides: ``size // 2.82`` = 79.0 for 224, so the
+    ``i + j == 79`` anti-diagonal belongs to BOTH the low and mid bands."""
+    bounds = [(0.0, size // 2.82), (size // 2.82, size // 2), (float(size), 2.0 * size)]
     i = np.arange(size)[:, None]
     j = np.arange(size)[None, :]
     s = i + j

@@ -70,11 +70,14 @@ def attention_mode() -> str:
     return "compiled" if platform in ("tpu", "axon") else "off"
 
 
-def supported(c: int, mlp_hidden: int, n: int) -> bool:
-    """Weight + activation footprint check against the ~16MB VMEM budget."""
+def supported(c: int, mlp_hidden: int, n: int, itemsize: int = 2) -> bool:
+    """Weight + activation footprint check against the ~16MB VMEM budget.
+
+    ``itemsize`` is the parameter dtype size — f32 serving doubles the resident
+    weight footprint, so the gate must use the real dtype, not assume bf16."""
     if not _PALLAS_OK:
         return False
-    weights = 2 * (4 * c * c + 2 * c * mlp_hidden)  # bf16 qkv+proj+mlp
+    weights = itemsize * (4 * c * c + 2 * c * mlp_hidden)  # qkv+proj+mlp
     return weights < 9_000_000 and n <= 64
 
 
@@ -156,11 +159,12 @@ def _block_kernel(
     # kernel's largest live values — chunking keeps them ~1MB
     wc = max(1, min(tile, 2))
     for j in range(0, tile, wc):
-        xs = x[j : j + wc]
+        cc = min(wc, tile - j)  # odd tiles leave a 1-window remainder
+        xs = x[j : j + cc]
         h2 = _ln(
             xs.astype(jnp.float32), ln2s_ref[:].astype(jnp.float32),
             ln2b_ref[:].astype(jnp.float32),
-        ).astype(dtype).reshape(wc * npad, c)
+        ).astype(dtype).reshape(cc * npad, c)
         f1 = jax.lax.dot_general(
             h2, wfc1_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -170,7 +174,7 @@ def _block_kernel(
             g, wfc2_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bfc2_ref[:].astype(jnp.float32)
-        out_ref[j : j + wc] = xs + f2.astype(dtype).reshape(wc, npad, c)
+        out_ref[j : j + cc] = xs + f2.astype(dtype).reshape(cc, npad, c)
 
 
 def _pick_tile(r: int, p_w: int, target: int = 8):

@@ -50,7 +50,9 @@ def polynomial_schedule(base_lr: float, min_lr: float, power: float, iter_max: i
 
 def _group_tx(name: str, lr: float, cfg: OptimConfig, iter_max: int) -> optax.GradientTransformation:
     sched = polynomial_schedule(lr, cfg.min_lr, cfg.poly_power, iter_max)
-    wd = cfg.weight_decay if name == "dec" else cfg.weight_decay_cnn
+    # reference decay assignment (``train.py:211-213``): only the encoder group
+    # uses weight_decay_cnn; decoder AND cva use weight_decay
+    wd = cfg.weight_decay_cnn if name == "enc" else cfg.weight_decay
     kind = cfg.optim if name == "dec" else cfg.optim_cnn
     if kind == "sgd":
         # torch SGD(weight_decay) == L2 added to grad before momentum
@@ -63,7 +65,8 @@ def _group_tx(name: str, lr: float, cfg: OptimConfig, iter_max: int) -> optax.Gr
     if kind == "rmsprop":
         return optax.chain(
             optax.add_decayed_weights(wd),
-            optax.rmsprop(learning_rate=sched),
+            # torch RMSprop defaults: alpha=0.99, eps=1e-8
+            optax.rmsprop(learning_rate=sched, decay=0.99, eps=1e-8),
         )
     raise ValueError(f"unknown optimizer {kind}")
 

@@ -23,7 +23,6 @@ from typing import Any, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax.training import train_state
 
 from ..configs.model_config import MumpyConfig
@@ -196,6 +195,7 @@ def train_loop(
 
     for e in range(loop_cfg.max_epoch):
         epoch_losses = {"train": [], "val": []}
+        mt = None  # the val-split metric driving best/patience bookkeeping
         for split in ("train", "val"):
             for i, batch in enumerate(loaders[split]()):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
@@ -215,17 +215,26 @@ def train_loop(
                         f"{np.mean(epoch_losses[split]):.4f} ({time.time() - t0:.1f}s)"
                     )
             if not epoch_losses[split]:
+                if split == "val":
+                    print(f"Epoch {e}: val loader produced no batches — "
+                          "skipping best/patience bookkeeping this epoch")
                 continue
-            if split == "val" and loop_cfg.smooth_curves:
+            if split == "val":
                 m_now = float(np.mean(epoch_losses["val"]))
-                mt = m_now if mt_val < 0 else 0.9 * mt_val + 0.1 * m_now
-                mt_val = mt
+                if loop_cfg.smooth_curves:
+                    mt = m_now if mt_val < 0 else 0.9 * mt_val + 0.1 * m_now
+                    mt_val = mt
+                else:
+                    mt = m_now
+                split_mean = mt
             else:
-                mt = float(np.mean(epoch_losses[split]))
-            writer.write(e, f"epoch_{split}", {"total": mt})
-            print(f"Epoch {e}: total {mt:.4f} ({split})")
+                split_mean = float(np.mean(epoch_losses[split]))
+            writer.write(e, f"epoch_{split}", {"total": split_mean})
+            print(f"Epoch {e}: total {split_mean:.4f} ({split})")
 
-        # best/patience bookkeeping (``train.py:437-466``)
+        # best/patience bookkeeping on the VAL metric only (``train.py:437-466``)
+        if mt is None:
+            continue
         if mt < best_val_loss - loop_cfg.min_delta:
             best_val_loss = mt
             ckpt_lib.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})

@@ -68,6 +68,20 @@ def test_swin_block_module_fused_matches_xla(shift, tdim):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
 
 
+@pytest.mark.parametrize("r", [3, 5, 20])
+def test_fused_block_odd_tiles(r):
+    """Regression: odd window counts (tile 3/5) must not crash the chunked MLP
+    (found by review: batch 5 at stage 2 gives r=20 -> tile 5)."""
+    rng = np.random.default_rng(6)
+    n, c, heads = 16, 32, 2
+    x = jnp.asarray(rng.standard_normal((r, n, c)), jnp.float32)
+    mb = jnp.asarray(rng.standard_normal((1, heads, n, n)), jnp.float32)
+    w = _make_weights(rng, c, 4 * c)
+    got = fused_swin_block(x, mb, w, heads=heads, interpret=True)
+    ref = _reference_block(x, jnp.tile(mb, (1, 1, 1, 1)), w, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
+
+
 def test_prepared_serving_path_matches():
     """prepare_for_inference captures the 'prepared' collection; the fast apply
     gives identical outputs to the inline-prep fused path and the XLA path."""

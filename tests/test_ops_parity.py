@@ -117,7 +117,9 @@ def test_dct_matrix_orthonormal_and_faf_matches_torch():
     i = torch.arange(size)[:, None]
     j = torch.arange(size)[None, :]
     s = i + j
-    bounds = [(0.0, size / 2.82), (size / 2.82, size / 2), (float(size), 2.0 * size)]
+    # reference floor-divides: ``size // 2.82`` (``dct.py:66-67``), so the
+    # boundary anti-diagonal belongs to both the low and mid bands
+    bounds = [(0.0, size // 2.82), (size // 2.82, size // 2), (float(size), 2.0 * size)]
     outs = []
     for lo, hi in bounds:
         m = ((s >= lo) & (s <= hi)).float()
