@@ -114,6 +114,11 @@ class CrossSwinBlock(nn.Module):
             rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
             x1 = x1 + drop_path(y, self.drop_path_rate, deterministic, rng)
 
+        from .swin import fused_mlp_tail
+
+        fused = fused_mlp_tail(self, x1, self.dim1, self.mlp_ratio, deterministic)
+        if fused is not None:
+            return fused, out
         y = Mlp(int(self.dim1 * self.mlp_ratio), self.dim1, self.drop, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x1), deterministic
         )

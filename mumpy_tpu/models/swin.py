@@ -26,6 +26,31 @@ import numpy as np
 from ..ops.window import shifted_window_mask, window_partition, window_reverse
 from ..ops.pallas import window_attention as pallas_wa
 from ..ops.pallas import swin_block as pallas_sb
+from ..ops.pallas import ln_mlp as pallas_lm
+
+
+def fused_mlp_tail(module, x, dim: int, mlp_ratio: float, deterministic: bool):
+    """``x + Mlp(LN(x))`` through the fused LN-MLP kernel when eligible, else None.
+
+    Shared by block tails whose attention half cannot use the whole-block kernel
+    (CrossSwinBlock, VitBlock).  Eligible at inference with existing params and a
+    weight set that fits VMEM; drop_path/dropout are inactive when deterministic.
+    """
+    if not (
+        deterministic
+        and pallas_sb.attention_mode() != "off"
+        and module.has_variable("params", "norm2")
+    ):
+        return None
+    v = module.variables["params"]
+    w1 = v["mlp"]["fc1"]["kernel"]
+    if not pallas_lm.supported(dim, int(dim * mlp_ratio), w1.dtype.itemsize):
+        return None
+    return pallas_lm.fused_ln_mlp(
+        x, v["norm2"]["scale"], v["norm2"]["bias"],
+        w1, v["mlp"]["fc1"]["bias"], v["mlp"]["fc2"]["kernel"], v["mlp"]["fc2"]["bias"],
+        interpret=pallas_sb.attention_mode() == "interpret",
+    )
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 gelu = functools.partial(nn.gelu, approximate=False)
@@ -344,6 +369,9 @@ class VitBlock(nn.Module):
         y = nn.Dropout(self.drop)(y, deterministic=deterministic)
         rng = self.make_rng("dropout") if not deterministic else None
         x = x + drop_path(y, dp, deterministic, rng)
+        fused = fused_mlp_tail(self, x, c, self.mlp_dim / c, deterministic)
+        if fused is not None:
+            return fused
         y = Mlp(self.mlp_dim, c, self.drop, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
         )

@@ -68,6 +68,24 @@ def test_swin_block_module_fused_matches_xla(shift, tdim):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
 
 
+@pytest.mark.parametrize("rows,c,m", [(49, 32, 128), (100, 24, 96)])
+def test_fused_ln_mlp_matches_reference(rows, c, m):
+    from mumpy_tpu.ops.pallas.ln_mlp import fused_ln_mlp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, rows, c)), jnp.float32)
+    lns = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((c, m)), jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+    w2 = jnp.asarray(0.1 * rng.standard_normal((m, c)), jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+    got = fused_ln_mlp(x, lns, lnb, w1, b1, w2, b2, interpret=True)
+    ref = x + jax.nn.gelu(_ln(x, lns, lnb) @ w1 + b1, approximate=False) @ w2 + b2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
+
+
 @pytest.mark.parametrize("r", [3, 5, 20])
 def test_fused_block_odd_tiles(r):
     """Regression: odd window counts (tile 3/5) must not crash the chunked MLP
