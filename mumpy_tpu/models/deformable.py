@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.grid_sample import grid_sample_bilinear
+from ..ops.pallas import cva as pallas_cva
+from ..ops.pallas import swin_block as pallas_sb
 from .swin import drop_path, gelu, trunc_init
 
 
@@ -60,6 +62,10 @@ class SwinDAttention(nn.Module):
 
         # tile queries: x1r[k] = x1[k % B1] (torch ``repeat`` order, ``:330``)
         x1r = jnp.tile(x1, (ratio, 1, 1))
+
+        fused = self._fused_call(x1r, x2, b1, ratio, deterministic)
+        if fused is not None:
+            return fused
 
         q = nn.Dense(c, kernel_init=trunc_init, name="proj_q")(x1r)  # 1x1 conv == dense
 
@@ -103,6 +109,66 @@ class SwinDAttention(nn.Module):
         )(out)
         out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
         return out
+
+    def _fused_call(self, x1r, x2, b1: int, ratio: int, deterministic: bool):
+        """Dispatch the whole deformable CVA to the fused pallas kernel.
+
+        Inference-only (dropout inactive); returns None when ineligible.  The
+        kernel computes everything through the per-head output projection; the
+        ratio fold and the proj_out BIAS are applied here (the reference folds
+        BEFORE projecting, ``deformableAttention.py:394-399``).
+        """
+        import os
+
+        # default OFF like the other attention kernels (see
+        # ``swin.fused_attn_branch``): measured slower in context than XLA
+        sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "none")
+        if sites == "none" or (sites != "all" and "cva" not in sites.split(",")):
+            return None
+        r, n, c = x1r.shape
+        if not (
+            deterministic
+            and self.offset_range_factor > 0  # kernel bakes in the tanh bound
+            and pallas_sb.attention_mode() != "off"
+            and self.has_variable("params", "proj_q")
+        ):
+            return None
+        v = self.variables["params"]
+        if not pallas_cva.supported(c, n, v["proj_q"]["kernel"].dtype.itemsize):
+            return None
+
+        def compute():
+            weights = {
+                "proj_q_kernel": v["proj_q"]["kernel"], "proj_q_bias": v["proj_q"]["bias"],
+                "proj_k_kernel": v["proj_k"]["kernel"], "proj_k_bias": v["proj_k"]["bias"],
+                "proj_v_kernel": v["proj_v"]["kernel"], "proj_v_bias": v["proj_v"]["bias"],
+                "proj_out_kernel": v["proj_out"]["kernel"],
+                "proj_out_bias": v["proj_out"]["bias"],
+                "dw_kernel": v["offset_dwconv"]["kernel"],
+                "dw_bias": v["offset_dwconv"]["bias"],
+                "ln_scale": v["offset_norm"]["scale"], "ln_bias": v["offset_norm"]["bias"],
+                "off_kernel": v["offset_proj"]["kernel"],
+            }
+            return pallas_cva.prepare_cva_weights(
+                weights, groups=self.n_groups, heads=self.num_heads, ws=self.window
+            )
+
+        if self.has_variable("prepared", "cva"):
+            prepared = self.get_variable("prepared", "cva")
+        elif self.is_mutable_collection("prepared"):
+            prepared = self.variable("prepared", "cva", compute).value
+        else:
+            prepared = compute()
+
+        g = self.n_groups
+        x2g = x2.reshape(r, n, g, c // g).transpose(2, 0, 1, 3)
+        out = pallas_cva.fused_cva_prepared(
+            x1r, x2g, prepared, groups=g, heads=self.num_heads, ws=self.window,
+            off_range=self.offset_range_factor,
+            interpret=pallas_sb.attention_mode() == "interpret",
+        )
+        out = out.reshape(b1, ratio, n, c).sum(axis=1)
+        return out + prepared["bproj"].astype(out.dtype)
 
 
 class CrossWindowAttention(nn.Module):

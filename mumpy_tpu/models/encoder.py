@@ -18,15 +18,18 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs.model_config import MumpyConfig, ViewConfig
 from ..ops.dct import faf
-from ..ops.window import window_partition
+from ..ops.pallas import swin_block as pallas_sb
+from ..ops.window import partition_tokens, unpartition_tokens, window_partition
 from .deformable import CVAModule
 from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
-                   drop_path, trunc_init, window_attend)
+                   drop_path, fused_attn_branch, fused_mlp_tail,
+                   relative_position_index, trunc_init, window_attend)
 
 
 class PatchEmbed3D(nn.Module):
@@ -84,6 +87,62 @@ class CrossSwinBlock(nn.Module):
             window = min(h, w)
         b1, l1, c1 = x1.shape
         t1 = l1 // (h * w)
+        gh1, gw1 = t1 * h, w
+        n = window * window
+
+        # fused inference path: ONE gather into window domain, one LN+W-MSA+
+        # residual kernel (which also emits the pre-residual branch needed as
+        # the next view's partner stream), CVA and the MLP kernel directly on
+        # windows, one gather back.  Training/init run the XLA path below.
+        def _weights():
+            v = self.variables["params"]
+            return {
+                "ln_scale": v["norm1"]["scale"], "ln_bias": v["norm1"]["bias"],
+                "qkv_kernel": v["attn"]["qkv"]["kernel"],
+                "qkv_bias": v["attn"]["qkv"]["bias"],
+                "proj_kernel": v["attn"]["proj"]["kernel"],
+                "proj_bias": v["attn"]["proj"]["bias"],
+            }
+
+        def _bias():
+            table = self.variables["params"]["attn"]["relative_position_bias_table"]
+            idx = jnp.asarray(relative_position_index(window, window))
+            bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+            return bias.transpose(2, 0, 1)[None]
+
+        x1w_in = partition_tokens(x1, gh1, gw1, window, 0)
+        fused = fused_attn_branch(
+            self, x1w_in, self.num_heads, _weights, _bias, 1, deterministic,
+            site="cross",
+        )
+        if fused is not None:
+            yw, x1w = fused
+            out = unpartition_tokens(yw, gh1, gw1, window, 0)
+            x1i = unpartition_tokens(x1w, gh1, gw1, window, 0)
+            if not self.last_view:
+                b2, l2, c2 = x2.shape
+                t2 = l2 // (h * w)
+                x2w = partition_tokens(x2, t2 * h, w, window, 0)
+                x2w = nn.Dense(self.dim1, kernel_init=trunc_init, name="pre")(x2w)
+                cw = CVAModule(
+                    self.dim1, self.num_heads, window=window,
+                    attn_drop=self.attn_drop, drop_path_rate=self.drop_path_rate,
+                    kind=self.cva_kind, name="cva",
+                )(x1w, x2w, deterministic)
+                # two reference quirks reproduced faithfully: (1) double
+                # residual — CVAModule already folded in x1w
+                # (``multiTemporalViewEncoder.py:138``) and the block adds the
+                # shortcut again (``:286``); (2) the CVA output is added in
+                # image token order WITHOUT window_reverse — the rearrange at
+                # ``:285`` is a plain reshape, so window-major tokens land at
+                # image-major positions.
+                x1i = x1i + cw.reshape(b1, l1, c1)
+            fm = fused_mlp_tail(self, x1i, self.dim1, self.mlp_ratio, deterministic)
+            if fm is None:
+                fm = x1i + Mlp(
+                    int(self.dim1 * self.mlp_ratio), self.dim1, self.drop, name="mlp"
+                )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x1i), deterministic)
+            return fm, out
 
         shortcut = x1
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x1)
@@ -113,8 +172,6 @@ class CrossSwinBlock(nn.Module):
             y = yw.reshape(b1, -1, c1)
             rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
             x1 = x1 + drop_path(y, self.drop_path_rate, deterministic, rng)
-
-        from .swin import fused_mlp_tail
 
         fused = fused_mlp_tail(self, x1, self.dim1, self.mlp_ratio, deterministic)
         if fused is not None:
@@ -146,6 +203,7 @@ class PlainBlockPair(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     deterministic: bool = True
+    pre_windowed: bool = False
 
     @nn.compact
     def __call__(self, x, dp_rates):
@@ -155,9 +213,11 @@ class PlainBlockPair(nn.Module):
             temporal_dim=self.temporal_dim, drop=self.drop, attn_drop=self.attn_drop,
         )
         x = SwinBlock(shift_size=self.shift_size, name="shifted", **kw)(
-            x, self.deterministic, dp_rates[0]
+            x, self.deterministic, dp_rates[0], pre_windowed=self.pre_windowed
         )
-        x = SwinBlock(shift_size=0, name="plain", **kw)(x, self.deterministic, dp_rates[1])
+        x = SwinBlock(shift_size=0, name="plain", **kw)(
+            x, self.deterministic, dp_rates[1], pre_windowed=self.pre_windowed
+        )
         return x, None
 
 
@@ -176,6 +236,20 @@ class ThreeViewStages(nn.Module):
         vcfgs = cfg.views
         depths = vcfgs[2].depths  # max depths drive the dpr schedule (``:542,553``)
         dpr = np.linspace(0.0, cfg.drop_path_rate, sum(depths))
+
+        # Window-domain carry eligibility: at inference with fused-block kernels
+        # on, a view's plain-block stack keeps window-major layout as the scan
+        # carry — one gather per shifted-layout change instead of the
+        # reverse+roll+partition chain around every block (launch-bound model).
+        param_itemsize = None
+        if (
+            deterministic
+            and not self.is_initializing()
+            and pallas_sb.attention_mode() != "off"
+        ):
+            leaves = jax.tree_util.tree_leaves(self.variables.get("params", {}))
+            if leaves:
+                param_itemsize = leaves[0].dtype.itemsize
 
         stage_outputs = []
         x = list(views)
@@ -219,6 +293,17 @@ class ThreeViewStages(nn.Module):
                 # reference quirk: every view shifts by *view1's* window size
                 # (``multiTemporalViewEncoder.py:407,421,435``)
                 shift = vcfgs[0].window_size // 2
+                hs = vcfgs[v].hidden_size[s]
+                wclamp = vcfgs[v].window_size
+                if min(res) <= wclamp:
+                    wclamp = min(res)
+                use_wd = param_itemsize is not None and pallas_sb.supported(
+                    hs, int(hs * 4.0), wclamp * wclamp, param_itemsize
+                )
+                if use_wd:
+                    t_v = vcfgs[v].temporal_dim
+                    gh, gw = t_v * res[0], res[1]
+                    x[v] = partition_tokens(x[v], gh, gw, wclamp, 0)
                 if n_pairs > 0:
                     # remat the scan body: O(1) activation memory over the deep
                     # stage at the cost of one extra forward under grad.  Only on
@@ -242,7 +327,7 @@ class ThreeViewStages(nn.Module):
                         window_size=vcfgs[v].window_size, shift_size=shift,
                         temporal_dim=vcfgs[v].temporal_dim,
                         drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                        deterministic=deterministic,
+                        deterministic=deterministic, pre_windowed=use_wd,
                         name=f"stage{s}_pairs_view{v + 1}",
                     )(x[v], pair_rates)
                 if rem:
@@ -253,7 +338,9 @@ class ThreeViewStages(nn.Module):
                         drop_path_rate=float(rates[-1]),
                         temporal_dim=vcfgs[v].temporal_dim,
                         name=f"stage{s}_last_view{v + 1}",
-                    )(x[v], deterministic)
+                    )(x[v], deterministic, pre_windowed=use_wd)
+                if use_wd:
+                    x[v] = unpartition_tokens(x[v], gh, gw, wclamp, 0)
 
             stage_outputs.append(list(x))
             if s < 3:
@@ -336,7 +423,7 @@ class MumpyEncoder(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.global_encoder.num_layers)
         ScannedVit = nn.scan(
             GlobalVitBody,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "prepared": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=0,
             length=cfg.global_encoder.num_layers,

@@ -23,10 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.window import shifted_window_mask, window_partition, window_reverse
+from ..ops.window import (partition_tokens, shifted_window_mask,
+                          unpartition_tokens, window_layout_perm,
+                          window_partition, window_reverse)
 from ..ops.pallas import window_attention as pallas_wa
 from ..ops.pallas import swin_block as pallas_sb
 from ..ops.pallas import ln_mlp as pallas_lm
+from ..ops.pallas import attn_ln as pallas_al
 
 
 def fused_mlp_tail(module, x, dim: int, mlp_ratio: float, deterministic: bool):
@@ -51,6 +54,57 @@ def fused_mlp_tail(module, x, dim: int, mlp_ratio: float, deterministic: bool):
         w1, v["mlp"]["fc1"]["bias"], v["mlp"]["fc2"]["kernel"], v["mlp"]["fc2"]["bias"],
         interpret=pallas_sb.attention_mode() == "interpret",
     )
+
+def fused_attn_branch(module, x, num_heads, weights_fn, mask_bias_fn, p_w,
+                      deterministic, var_name="attn_prepared", site="attn"):
+    """``(y, x + y)`` via the fused LN+MSA+residual kernel when eligible, else None.
+
+    ``x`` is window-major (R, N, C); ``weights_fn()`` returns the ln/qkv/proj
+    weight dict and ``mask_bias_fn()`` the (P, H, N, N) additive term — both are
+    only called when kernel-ready operands are not already cached in the
+    "prepared" collection (see ``SwinBlock._fused_call``).  ``site`` names the
+    call site for the MUMPY_FUSED_ATTN_SITES env gate (comma list or
+    "all"/"none").
+
+    Default is OFF: interleaved A/B measurement on the v5e (scripts/ab_bench.py,
+    +-0.3%% within-run) showed these kernels are 2x faster than attention jitted
+    standalone but 1-3%% SLOWER inside the full model — the opaque custom call
+    breaks XLA's fusion with neighboring ops.  The whole-Swin-block kernel
+    (which subsumes its whole neighborhood) does win (+3.8%% end to end) and
+    stays on.
+    """
+    import os
+
+    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "none")
+    if sites == "none" or (sites != "all" and site not in sites.split(",")):
+        return None
+    if not (
+        deterministic
+        and pallas_sb.attention_mode() != "off"
+        and module.has_variable("params", "norm1")
+    ):
+        return None
+    r, n, c = x.shape
+    leaves = jax.tree_util.tree_leaves(module.variables["params"])
+    if not pallas_al.supported(c, n, leaves[0].dtype.itemsize):
+        return None
+
+    def compute():
+        return pallas_al.prepare_attn_weights(
+            weights_fn(), mask_bias_fn(), heads=num_heads, r=r
+        )
+
+    if module.has_variable("prepared", var_name):
+        prepared = module.get_variable("prepared", var_name)
+    elif module.is_mutable_collection("prepared"):
+        prepared = module.variable("prepared", var_name, compute).value
+    else:
+        prepared = compute()
+    return pallas_al.fused_attn_ln_prepared(
+        x, prepared, heads=num_heads, n=n, p_w=p_w,
+        interpret=pallas_sb.attention_mode() == "interpret",
+    )
+
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 gelu = functools.partial(nn.gelu, approximate=False)
@@ -215,7 +269,8 @@ class SwinBlock(nn.Module):
     temporal_dim: int = 1
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, dp_rate=None):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None,
+                 pre_windowed: bool = False):
         h, w = self.input_resolution
         window = self.window_size
         shift = self.shift_size
@@ -238,7 +293,11 @@ class SwinBlock(nn.Module):
             )
         )
         if use_fused:
-            return self._fused_call(x, window, shift)
+            return self._fused_call(x, window, shift, pre_windowed)
+        assert not pre_windowed, (
+            "pre_windowed carry reached the XLA path — the caller's eligibility "
+            "check disagrees with SwinBlock's"
+        )
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -256,7 +315,7 @@ class SwinBlock(nn.Module):
         rng = self.make_rng("dropout") if not deterministic else None
         return x + drop_path(y, dp, deterministic, rng)
 
-    def _fused_call(self, x, window: int, shift: int):
+    def _fused_call(self, x, window: int, shift: int, pre_windowed: bool = False):
         """Dispatch the whole block to the fused pallas kernel.
 
         The kernel-ready operands (per-head weight splits, padded/tiled mask+
@@ -265,11 +324,24 @@ class SwinBlock(nn.Module):
         variable collection: a capture run with ``mutable=["prepared"]`` stores
         them once (``utils/serving.py:prepare_for_inference``), after which
         serving applies read them for free.  Without the collection they are
-        computed inline (correct, slower)."""
+        computed inline (correct, slower).
+
+        Layout: instead of the roll + pad + transpose chain, tokens are moved
+        with ONE static-permutation row gather per layout change (the block is
+        launch-overhead bound; every layout op costs a fixed ~30us).  With
+        ``pre_windowed`` the input/output are already window-major ``(B*nW, N,
+        C)`` in the *unshifted* layout (scanned stacks keep that layout as the
+        carry), so an unshifted block needs zero layout ops and a shifted block
+        needs two gathers."""
         gh, gw = self.temporal_dim * self.input_resolution[0], self.input_resolution[1]
-        b, l, c = x.shape
+        if pre_windowed:
+            r, _, c = x.shape
+        else:
+            b, l, c = x.shape
         n = window * window
         nw = (gh // window) * (gw // window)
+        if pre_windowed:
+            b = r // nw
         p_w = nw if shift > 0 else 1
 
         def compute_prepared():
@@ -303,18 +375,26 @@ class SwinBlock(nn.Module):
         else:
             prepared = compute_prepared()
 
-        xs = x.reshape(b, gh, gw, c)
-        if shift > 0:
-            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
-        wins = window_partition(xs, window).reshape(-1, n, c)
+        if pre_windowed:
+            if shift > 0:
+                perm = jnp.asarray(window_layout_perm(gh, gw, window, 0, shift))
+                wins = jnp.take(x.reshape(b, gh * gw, c), perm, axis=1)
+                wins = wins.reshape(b * nw, n, c)
+            else:
+                wins = x
+        else:
+            wins = partition_tokens(x, gh, gw, window, shift)
         wins = pallas_sb.fused_swin_block_prepared(
             wins, prepared, heads=self.num_heads, n=n, p_w=p_w,
             interpret=pallas_sb.attention_mode() == "interpret",
         )
-        xs = window_reverse(wins.reshape(-1, window, window, c), window, gh, gw)
-        if shift > 0:
-            xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
-        return xs.reshape(b, l, c)
+        if pre_windowed:
+            if shift > 0:
+                iperm = jnp.asarray(window_layout_perm(gh, gw, window, shift, 0))
+                wins = jnp.take(wins.reshape(b, gh * gw, c), iperm, axis=1)
+                wins = wins.reshape(b * nw, n, c)
+            return wins
+        return unpartition_tokens(wins, gh, gw, window, shift)
 
 
 class PatchMerging(nn.Module):
@@ -359,16 +439,37 @@ class VitBlock(nn.Module):
         h = self.num_heads
         hd = c // h
         dp = self.drop_path_rate if dp_rate is None else dp_rate
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(y).reshape(b, n, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k), axis=-1)
-        attn = nn.Dropout(self.drop)(attn, deterministic=deterministic)
-        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
-        y = nn.Dense(c, kernel_init=trunc_init, name="proj")(y)
-        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
-        rng = self.make_rng("dropout") if not deterministic else None
-        x = x + drop_path(y, dp, deterministic, rng)
+
+        # fused LN+MSA+residual kernel (inference): the global temporal ViT runs
+        # on (B*49, 3, 768) rows — pure launch overhead in XLA.  The attention
+        # weights (4C^2) fit VMEM where the whole-block set does not; the MLP
+        # half goes through fused_mlp_tail below.
+        def _weights():
+            v = self.variables["params"]
+            return {
+                "ln_scale": v["norm1"]["scale"], "ln_bias": v["norm1"]["bias"],
+                "qkv_kernel": v["qkv"]["kernel"], "qkv_bias": v["qkv"]["bias"],
+                "proj_kernel": v["proj"]["kernel"], "proj_bias": v["proj"]["bias"],
+            }
+
+        fused = fused_attn_branch(
+            self, x, h, _weights,
+            lambda: jnp.zeros((1, h, n, n), jnp.float32), 1, deterministic,
+            site="vit",
+        )
+        if fused is not None:
+            _, x = fused
+        else:
+            y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+            qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(y).reshape(b, n, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            attn = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k), axis=-1)
+            attn = nn.Dropout(self.drop)(attn, deterministic=deterministic)
+            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+            y = nn.Dense(c, kernel_init=trunc_init, name="proj")(y)
+            y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+            rng = self.make_rng("dropout") if not deterministic else None
+            x = x + drop_path(y, dp, deterministic, rng)
         fused = fused_mlp_tail(self, x, c, self.mlp_dim / c, deterministic)
         if fused is not None:
             return fused

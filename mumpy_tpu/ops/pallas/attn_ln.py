@@ -1,0 +1,207 @@
+"""Fused LayerNorm + windowed MSA + residual Pallas kernel (TPU).
+
+Computes, in ONE launch over window-major tokens,
+
+    y   = proj(softmax(q k^T * scale + mb) v)   with q,k,v = qkv(LN(x))
+    out = x + y
+
+and returns BOTH ``y`` (the pre-residual attention branch — the CrossSwinBlock
+passes it to the next view as the partner stream,
+``multiTemporalViewEncoder.py:275,345-349``) and ``out``.
+
+This is the attention half of :mod:`.swin_block` factored out for blocks whose
+MLP half cannot live in the same kernel: the CrossSwinBlock (cross-view
+attention interleaves between the halves) and the global temporal ViT at
+C=768 (the full-block weight set exceeds the VMEM budget per tile, but the
+4C^2 attention weights fit — the MLP half goes through
+:func:`..ln_mlp.fused_ln_mlp`).
+
+Same Mosaic constraints as the whole-block kernel: per-head weight splits on a
+leading axis, per-head outputs folded through the output projection into an
+f32 accumulator (never concatenated on the lane axis), N padded to the sublane
+multiple with key masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+from .swin_block import _choose_tile, _ln, attention_mode  # shared helpers
+
+
+def supported(c: int, n: int, itemsize: int = 2) -> bool:
+    """qkv+proj weights (4C^2) must fit the VMEM budget next to the row tiles."""
+    if not _PALLAS_OK:
+        return False
+    return itemsize * 4 * c * c < 9_000_000 and n <= 64
+
+
+def _attn_kernel(
+    x_ref, mb_ref,
+    lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wproj_ref, bproj_ref,
+    y_ref, out_ref,
+    *, heads, n_valid, scale,
+):
+    tile, npad, c = x_ref.shape
+    x = x_ref[:]
+    dtype = x.dtype
+
+    h1 = _ln(
+        x.astype(jnp.float32), lns_ref[:].astype(jnp.float32),
+        lnb_ref[:].astype(jnp.float32),
+    ).astype(dtype)
+    h2d = h1.reshape(tile * npad, c)
+
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    proj_acc = jnp.zeros((tile * npad, c), jnp.float32)
+    for h in range(heads):
+        q = (jax.lax.dot_general(h2d, wq_ref[h], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + bq_ref[h].astype(jnp.float32)).astype(dtype)
+        k = (jax.lax.dot_general(h2d, wk_ref[h], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + bk_ref[h].astype(jnp.float32)).astype(dtype)
+        v = (jax.lax.dot_general(h2d, wv_ref[h], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + bv_ref[h].astype(jnp.float32)).astype(dtype)
+        hd = q.shape[-1]
+        q3 = q.reshape(tile, npad, hd)
+        k3 = k.reshape(tile, npad, hd)
+        v3 = v.reshape(tile, npad, hd)
+        scores = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + mb_ref[h].astype(jnp.float32)
+        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        o = jax.lax.dot_general(
+            p, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(tile * npad, hd)
+        proj_acc = proj_acc + jax.lax.dot_general(
+            o, wproj_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = (proj_acc + bproj_ref[:].astype(jnp.float32)).astype(dtype)
+    y = y.reshape(tile, npad, c)
+    y_ref[:] = y
+    out_ref[:] = x + y
+
+
+def prepare_attn_weights(weights, mask_bias, *, heads: int, r: int):
+    """Kernel-ready operands: per-head q/k/v/proj splits and the padded/tiled
+    additive term (see :func:`..swin_block.prepare_weights`)."""
+    c = weights["qkv_kernel"].shape[0]
+    hd = c // heads
+    n = mask_bias.shape[-1]
+    npad = -(-n // 8) * 8
+    p_w = mask_bias.shape[0]
+    wdtype = weights["qkv_kernel"].dtype
+    _, reps, _ = _choose_tile(r, p_w, npad, c, heads, wdtype.itemsize, n_act_bufs=3)
+
+    mb = mask_bias.astype(wdtype)
+    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
+    if p_w > 1 and reps > 1:
+        mb = jnp.tile(mb, (reps, 1, 1, 1))
+    mb = mb.transpose(1, 0, 2, 3)  # (H, tile_w or 1, npad, npad)
+
+    w = weights
+    wqkv = w["qkv_kernel"]
+    bqkv = w["qkv_bias"]
+    wq, wk, wv = (wqkv[:, i * c:(i + 1) * c].reshape(c, heads, hd).transpose(1, 0, 2)
+                  for i in range(3))
+    bq, bk, bv = (bqkv[i * c:(i + 1) * c].reshape(heads, 1, hd) for i in range(3))
+    return {
+        "mb": mb,
+        "lns": w["ln_scale"].reshape(1, c), "lnb": w["ln_bias"].reshape(1, c),
+        "wq": wq, "wk": wk, "wv": wv, "bq": bq, "bk": bk, "bv": bv,
+        "wproj": w["proj_kernel"].reshape(heads, hd, c),
+        "bproj": w["proj_bias"].reshape(1, c),
+    }
+
+
+_WL_ORDER = ("lns", "lnb", "wq", "wk", "wv", "bq", "bk", "bv", "wproj", "bproj")
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "n", "p_w", "interpret"))
+def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
+                           interpret: bool = False):
+    """(R, N, C) window tokens -> (y, x + y); operands from
+    :func:`prepare_attn_weights` (``p_w`` = additive-term period in windows)."""
+    r, _, c = x.shape
+    hd = c // heads
+    scale = hd**-0.5
+    npad = -(-n // 8) * 8
+    tile, _, _ = _choose_tile(
+        r, p_w, npad, c, heads, prepared["wq"].dtype.itemsize, n_act_bufs=3
+    )
+    mbw = prepared["mb"].shape[1]
+    if mbw == 1:
+        mb_block, mb_index = 1, (lambda i: (0, 0, 0, 0))
+    else:
+        assert mbw % tile == 0, (
+            f"prepared additive term tiled for a different batch (mb rows {mbw}, "
+            f"tile {tile}): re-run prepare_for_inference at this batch size")
+        nb = mbw // tile
+        mb_block, mb_index = tile, (lambda i, nb=nb: (0, i % nb, 0, 0))
+
+    xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    wl = [prepared[k] for k in _WL_ORDER]
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+
+    flops = r * (8 * n * c * c + 4 * n * n * c)
+    weight_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in wl)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=3 * r * npad * c * x.dtype.itemsize
+        + (r // tile) * weight_bytes,
+        transcendentals=r * n * n,
+    )
+
+    tile_spec = pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    y, out = pl.pallas_call(
+        functools.partial(_attn_kernel, heads=heads, n_valid=n, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, npad, c), x.dtype),
+            jax.ShapeDtypeStruct((r, npad, c), x.dtype),
+        ),
+        grid=(r // tile,),
+        in_specs=[
+            tile_spec,
+            pl.BlockSpec((heads, mb_block, npad, npad), mb_index, memory_space=pltpu.VMEM),
+        ] + [full(a) for a in wl],
+        out_specs=(tile_spec, tile_spec),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xp, prepared["mb"], *wl)
+    return y[:, :n, :], out[:, :n, :]
+
+
+def fused_attn_ln(x, mask_bias, weights, *, heads: int, interpret: bool = False):
+    """Convenience entry: prepare operands inline, then run the kernel.
+
+    x: (R, N, C) window tokens; mask_bias: (P, H, N, N) additive term (period P
+    in windows; pass zeros (1, H, N, N) for bias-free attention); weights: dict
+    with ln (scale, bias), qkv (C,3C)+(3C,), proj (C,C)+(C,).
+    """
+    prepared = prepare_attn_weights(weights, mask_bias, heads=heads, r=x.shape[0])
+    return fused_attn_ln_prepared(
+        x, prepared, heads=heads, n=x.shape[1], p_w=mask_bias.shape[0],
+        interpret=interpret,
+    )

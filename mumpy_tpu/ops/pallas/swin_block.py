@@ -178,8 +178,8 @@ def _block_kernel(
 
 
 def _pick_tile(r: int, p_w: int, target: int = 8):
-    """Windows per grid step: divisor-or-multiple of the mask period (see
-    window_attention.fused_window_attention)."""
+    """Legacy fixed-target tile chooser (kept for the standalone attention
+    kernel): divisor-or-multiple of the mask period."""
     if p_w <= target:
         tile = p_w * max(1, target // p_w)
         while r % tile != 0:
@@ -187,6 +187,42 @@ def _pick_tile(r: int, p_w: int, target: int = 8):
         return tile, tile // p_w, 1
     tile = next(t for t in range(target, 0, -1) if p_w % t == 0)
     return tile, 1, p_w // tile
+
+
+def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
+                 itemsize: int, n_act_bufs: int = 2, extra_weight_bytes: int = 0,
+                 per_buf_cap: int = 786_432):
+    """Windows per grid step, VMEM-aware.
+
+    The v5e probe showed per-step fixed cost dominates at small tiles (tile 8 on
+    (392, 3, 768) rows: 2.6ms vs 1.2ms at tile 56; tile 8 on 1536 stage-0 cross
+    windows: 8.0ms vs 4.4ms at tile 32) while oversized tiles regress again
+    (tile 96 at stage 0: 6.2ms) — so: the LARGEST tile that (a) divides r,
+    (b) is a divisor-or-multiple of the mask period ``p_w``, (c) keeps each
+    pipelined activation buffer <= ~0.75MB, and (d) keeps the double-buffered
+    activations + per-window mask + resident weights under ~12MB of VMEM.
+
+    Returns (tile, reps, parts) like :func:`_pick_tile`.
+    """
+    bpw_act = npad * c * itemsize
+    mask_bpw = heads * npad * npad * itemsize if p_w > 1 else 0
+    weight_bytes = itemsize * 4 * c * c + extra_weight_bytes  # qkv+proj (+ MLP)
+    best = None
+    for t in range(1, r + 1):
+        if r % t or not (t % p_w == 0 or p_w % t == 0):
+            continue
+        if best is None:
+            best = t  # smallest valid tile is the fallback
+            continue
+        per_buf = t * bpw_act
+        total = (
+            2 * (n_act_bufs * t * bpw_act + t * mask_bpw)
+            + weight_bytes
+            + t * npad * c * 4  # f32 accumulator
+        )
+        if per_buf <= per_buf_cap and total <= 12_000_000:
+            best = t
+    return best, max(1, best // p_w), max(1, p_w // best)
 
 
 def prepare_weights(weights, mask_bias, *, heads: int, r: int):
@@ -202,9 +238,18 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
     n = mask_bias.shape[-1]
     npad = -(-n // 8) * 8
     p_w = mask_bias.shape[0]
-    _, reps, _ = _pick_tile(r, p_w)
+    wdtype = weights["qkv_kernel"].dtype
+    m = weights["fc1_kernel"].shape[1]
+    _, reps, _ = _choose_tile(
+        r, p_w, npad, c, heads, wdtype.itemsize,
+        extra_weight_bytes=2 * c * m * wdtype.itemsize,
+    )
 
-    mb = jnp.pad(mask_bias, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
+    # store the additive term in the weight dtype: the XLA path adds the mask in
+    # the activation dtype too, and halving it doubles the tile the VMEM budget
+    # admits for shifted blocks (the kernel still accumulates scores in f32)
+    mb = mask_bias.astype(wdtype)
+    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
     # p_w == 1 (unshifted): keep one row and let the kernel broadcast — the
     # result is then independent of the serving batch size
     if p_w > 1 and reps > 1:
@@ -246,7 +291,11 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     hd = c // heads
     scale = hd**-0.5
     npad = -(-n // 8) * 8
-    tile, _, _ = _pick_tile(r, p_w)
+    wdtype = prepared["wq"].dtype
+    tile, _, _ = _choose_tile(
+        r, p_w, npad, c, heads, wdtype.itemsize,
+        extra_weight_bytes=2 * c * prepared["wfc1"].shape[1] * wdtype.itemsize,
+    )
     mbw = prepared["mb"].shape[1]
     if mbw == 1:
         mb_block, mb_index = 1, (lambda i: (0, 0, 0, 0))

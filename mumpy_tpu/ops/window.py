@@ -14,7 +14,17 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["window_partition", "window_reverse", "shifted_window_mask"]
+__all__ = [
+    "window_partition",
+    "window_reverse",
+    "shifted_window_mask",
+    "img_to_window_perm",
+    "win_to_img_perm",
+    "window_layout_perm",
+    "inverse_perm",
+    "partition_tokens",
+    "unpartition_tokens",
+]
 
 
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -32,6 +42,84 @@ def window_reverse(windows: jnp.ndarray, window: int, h: int, w: int) -> jnp.nda
     x = windows.reshape(b, h // window, w // window, window, window, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=None)
+def img_to_window_perm(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Static token permutation equivalent to ``partition(roll(img, -shift))``.
+
+    Returns ``perm`` of length ``h*w`` such that gathering image-layout tokens
+    ``(B, H*W, C)`` with ``x[:, perm]`` yields exactly the window-major token
+    order produced by ``window_partition(jnp.roll(x_img, (-shift, -shift)))``.
+    On TPU this turns the roll + pad + transpose launch chain around a fused
+    window kernel into a single row gather.
+    """
+    img = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    if shift:
+        img = np.roll(img, (-shift, -shift), axis=(0, 1))
+    img = img.reshape(h // window, window, w // window, window)
+    return img.transpose(0, 2, 1, 3).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def inverse_perm(perm: tuple) -> np.ndarray:
+    """Inverse of a permutation given as a hashable tuple."""
+    p = np.asarray(perm, dtype=np.int32)
+    inv = np.empty_like(p)
+    inv[p] = np.arange(p.size, dtype=np.int32)
+    return inv
+
+
+@functools.lru_cache(maxsize=None)
+def win_to_img_perm(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Inverse of :func:`img_to_window_perm`: gathers window-major tokens back to
+    image order (equivalent to ``roll(reverse(wins), +shift)``)."""
+    return inverse_perm(tuple(img_to_window_perm(h, w, window, shift).tolist()))
+
+
+@functools.lru_cache(maxsize=None)
+def window_layout_perm(
+    h: int, w: int, window: int, src_shift: int, dst_shift: int
+) -> np.ndarray:
+    """Permutation between two window-major layouts of the same image.
+
+    ``wins_dst[:, q] = wins_src[:, perm[q]]`` where each layout is the flattened
+    window-major order of ``partition(roll(img, -shift))``.  Lets a scanned stack
+    of alternating shifted/plain blocks stay in window domain: one gather per
+    layout change instead of reverse + roll + partition.
+    """
+    src = img_to_window_perm(h, w, window, src_shift)
+    dst = img_to_window_perm(h, w, window, dst_shift)
+    inv_src = inverse_perm(tuple(src.tolist()))
+    return inv_src[dst]
+
+
+def partition_tokens(x: jnp.ndarray, gh: int, gw: int, window: int, shift: int) -> jnp.ndarray:
+    """(B, gh*gw, C) image tokens -> (B*nW, window^2, C) window-major tokens of
+    the ``roll(-shift)`` layout.
+
+    shift == 0 lowers to reshape+transpose (bandwidth-efficient on TPU);
+    shift > 0 uses ONE static row gather, replacing the roll + pad + transpose
+    launch chain (the fused-block model is launch-overhead bound).
+    """
+    b, l, c = x.shape
+    n = window * window
+    if shift == 0:
+        wins = window_partition(x.reshape(b, gh, gw, c), window)
+        return wins.reshape(-1, n, c)
+    perm = jnp.asarray(img_to_window_perm(gh, gw, window, shift))
+    return jnp.take(x, perm, axis=1).reshape(-1, n, c)
+
+
+def unpartition_tokens(wins: jnp.ndarray, gh: int, gw: int, window: int, shift: int) -> jnp.ndarray:
+    """Inverse of :func:`partition_tokens`; returns (B, gh*gw, C)."""
+    n, c = wins.shape[-2:]
+    if shift == 0:
+        x = window_reverse(wins.reshape(-1, window, window, c), window, gh, gw)
+        return x.reshape(x.shape[0], gh * gw, c)
+    b = wins.shape[0] * n // (gh * gw)
+    perm = jnp.asarray(win_to_img_perm(gh, gw, window, shift))
+    return jnp.take(wins.reshape(b, gh * gw, c), perm, axis=1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Interleaved A/B throughput comparison on the flagship model.
+
+Run-to-run bench variance through the tunnel is ~±8% (identical configs have
+measured 209-228 f/s across runs), so single-run comparisons are meaningless.
+This harness compiles EVERY variant in one process and interleaves timed
+chains (A B C A B C ...), so chip/tunnel drift hits all variants equally.
+Timing per chain follows bench.py's honest protocol: scalar data dependency
+through iterations + host fetch, slope implicit in the per-chain mean over
+rounds.
+
+Usage: python scripts/ab_bench.py --variants none,vit,cross,cva,all --batch 8
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10, help="steps per chain")
+    p.add_argument("--rounds", type=int, default=4, help="interleaved rounds")
+    p.add_argument("--variants", default="none,all")
+    p.add_argument("--fused-block", default=None,
+                   help="override MUMPY_FUSED_BLOCK per variant list, e.g. 'off'")
+    args = p.parse_args()
+
+    from mumpy_tpu.configs.model_config import multiswin_config
+    from mumpy_tpu.models.mumpy import Mumpy
+    from mumpy_tpu.utils.serving import prepare_for_inference
+
+    cfg = multiswin_config()
+    model = Mumpy(cfg)
+    rng = np.random.default_rng(0)
+    clip = jnp.asarray(
+        rng.standard_normal((args.batch, 3, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), clip[:1])
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    clip16 = clip.astype(jnp.bfloat16)
+
+    steps = {}
+    for variant in args.variants.split(","):
+        # variant syntax: "<sites>[/<fused_block>]", e.g. "none/off" = pure XLA
+        sites, _, block = variant.partition("/")
+        os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
+        os.environ["MUMPY_FUSED_BLOCK"] = (
+            block or args.fused_block or "auto"
+        )
+        v = prepare_for_inference(model, params, clip16)
+
+        def step(v, clip, carry):
+            out = model.apply(v, (clip * (1.0 + carry)).astype(jnp.bfloat16),
+                              deterministic=True)
+            return jnp.mean(jax.nn.sigmoid(out.astype(jnp.float32))) * 1e-6
+
+        jitted = jax.jit(step)
+        t0 = time.time()
+        jitted(v, clip, jnp.float32(0.0)).block_until_ready()
+        print(f"[compile] {variant}: {time.time()-t0:.0f}s", flush=True)
+        steps[variant] = (jitted, v)
+
+    def run_chain(name, n):
+        jitted, v = steps[name]
+        c = jnp.float32(0.0)
+        c = jitted(v, clip, c)
+        float(c)  # sync entry
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = jitted(v, clip, c)
+        assert np.isfinite(float(c))
+        return time.perf_counter() - t0
+
+    names = list(steps)
+    for name in names:  # warm
+        run_chain(name, 2)
+    times = {n: [] for n in names}
+    for r in range(args.rounds):
+        for name in names:
+            times[name].append(run_chain(name, args.iters) / args.iters)
+    print("\nper-step seconds (per round):")
+    for name in names:
+        ts = np.array(times[name])
+        fps = args.batch / ts
+        print(f"  {name:8s}: {' '.join(f'{t*1e3:7.2f}ms' for t in ts)}"
+              f"  -> fps med {np.median(fps):7.1f}  best {fps.max():7.1f}")
+
+
+if __name__ == "__main__":
+    main()
