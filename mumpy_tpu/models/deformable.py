@@ -120,9 +120,8 @@ class SwinDAttention(nn.Module):
         """
         import os
 
-        # default OFF like the other attention kernels (see
-        # ``swin.fused_attn_branch``): measured slower in context than XLA
-        sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "none")
+        # default ON (see ``swin.fused_attn_branch`` for the measurement)
+        sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
         if sites == "none" or (sites != "all" and "cva" not in sites.split(",")):
             return None
         r, n, c = x1r.shape

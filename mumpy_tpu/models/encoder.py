@@ -311,12 +311,20 @@ class ThreeViewStages(nn.Module):
                     # which pure inference should not pay for.
                     use_remat = cfg.remat and not deterministic
                     body = nn.remat(PlainBlockPair) if use_remat else PlainBlockPair
+                    # inference: fully unroll the scan — per-iteration DYNAMIC
+                    # slices of the stacked params/prepared operands become
+                    # static leading-dim slices (zero-copy views into the
+                    # stacked arrays), removing ~the per-block launch overhead
+                    # that dominated the fused path.  Training keeps the rolled
+                    # scan (one compiled body + remat).
+                    unroll = n_pairs if deterministic else 1
                     ScannedPairs = nn.scan(
                         body,
                         variable_axes={"params": 0, "prepared": 0},
                         split_rngs={"params": True, "dropout": True},
                         in_axes=0,
                         length=n_pairs,
+                        unroll=unroll,
                     )
                     pair_rates = jnp.asarray(
                         rates[: 2 * n_pairs].reshape(n_pairs, 2), jnp.float32
@@ -427,6 +435,9 @@ class MumpyEncoder(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=0,
             length=cfg.global_encoder.num_layers,
+            # unrolled at inference for the same reason as the block pairs:
+            # static slices of stacked layer params are free
+            unroll=cfg.global_encoder.num_layers if deterministic else 1,
         )
         g, _ = ScannedVit(
             dim=c, num_heads=cfg.global_encoder.num_heads,

@@ -66,16 +66,15 @@ def fused_attn_branch(module, x, num_heads, weights_fn, mask_bias_fn, p_w,
     call site for the MUMPY_FUSED_ATTN_SITES env gate (comma list or
     "all"/"none").
 
-    Default is OFF: interleaved A/B measurement on the v5e (scripts/ab_bench.py,
-    +-0.3%% within-run) showed these kernels are 2x faster than attention jitted
-    standalone but 1-3%% SLOWER inside the full model — the opaque custom call
-    breaks XLA's fusion with neighboring ops.  The whole-Swin-block kernel
-    (which subsumes its whole neighborhood) does win (+3.8%% end to end) and
-    stays on.
+    Defaults (interleaved A/B on the v5e, scripts/ab_bench.py, +-0.3%% within
+    run): "cross" and "cva" are ON (+10 and +7 frames/s at batch 16 once the
+    kernels compute qkv/proj FULL-WIDTH through lane-sliced scratch); "vit" is
+    OFF (the (B*49, 3, 768) global-ViT rows lose ~4 f/s — XLA fuses that tiny
+    attention into its neighbors better than an opaque custom call).
     """
     import os
 
-    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "none")
+    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
     if sites == "none" or (sites != "all" and site not in sites.split(",")):
         return None
     if not (

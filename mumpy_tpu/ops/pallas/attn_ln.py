@@ -50,37 +50,32 @@ def supported(c: int, n: int, itemsize: int = 2) -> bool:
 
 def _attn_kernel(
     x_ref, mb_ref,
-    lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-    wproj_ref, bproj_ref,
-    y_ref, out_ref,
+    lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    y_ref, out_ref, qkv_scr, o_scr,
     *, heads, n_valid, scale,
 ):
     tile, npad, c = x_ref.shape
+    hd = c // heads
     x = x_ref[:]
     dtype = x.dtype
 
+    # full-width qkv/proj matmuls through VMEM scratch; per-head attention
+    # reads lane slices (see ops/pallas/swin_block.py for the rationale)
     h1 = _ln(
         x.astype(jnp.float32), lns_ref[:].astype(jnp.float32),
         lnb_ref[:].astype(jnp.float32),
     ).astype(dtype)
     h2d = h1.reshape(tile * npad, c)
+    qkv_scr[:] = (jax.lax.dot_general(
+        h2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
-    proj_acc = jnp.zeros((tile * npad, c), jnp.float32)
     for h in range(heads):
-        q = (jax.lax.dot_general(h2d, wq_ref[h], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + bq_ref[h].astype(jnp.float32)).astype(dtype)
-        k = (jax.lax.dot_general(h2d, wk_ref[h], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + bk_ref[h].astype(jnp.float32)).astype(dtype)
-        v = (jax.lax.dot_general(h2d, wv_ref[h], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + bv_ref[h].astype(jnp.float32)).astype(dtype)
-        hd = q.shape[-1]
-        q3 = q.reshape(tile, npad, hd)
-        k3 = k.reshape(tile, npad, hd)
-        v3 = v.reshape(tile, npad, hd)
+        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
+        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
+        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -89,15 +84,14 @@ def _attn_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o = jax.lax.dot_general(
+        o_scr[:, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype).reshape(tile * npad, hd)
-        proj_acc = proj_acc + jax.lax.dot_general(
-            o, wproj_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    y = (proj_acc + bproj_ref[:].astype(jnp.float32)).astype(dtype)
+    y = (jax.lax.dot_general(
+        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)).astype(dtype)
     y = y.reshape(tile, npad, c)
     y_ref[:] = y
     out_ref[:] = x + y
@@ -112,7 +106,10 @@ def prepare_attn_weights(weights, mask_bias, *, heads: int, r: int):
     npad = -(-n // 8) * 8
     p_w = mask_bias.shape[0]
     wdtype = weights["qkv_kernel"].dtype
-    _, reps, _ = _choose_tile(r, p_w, npad, c, heads, wdtype.itemsize, n_act_bufs=3)
+    _, reps, _ = _choose_tile(
+        r, p_w, npad, c, heads, wdtype.itemsize, n_act_bufs=3,
+        scratch_bytes_per_window=npad * 4 * c * wdtype.itemsize,
+    )
 
     mb = mask_bias.astype(wdtype)
     mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
@@ -121,21 +118,16 @@ def prepare_attn_weights(weights, mask_bias, *, heads: int, r: int):
     mb = mb.transpose(1, 0, 2, 3)  # (H, tile_w or 1, npad, npad)
 
     w = weights
-    wqkv = w["qkv_kernel"]
-    bqkv = w["qkv_bias"]
-    wq, wk, wv = (wqkv[:, i * c:(i + 1) * c].reshape(c, heads, hd).transpose(1, 0, 2)
-                  for i in range(3))
-    bq, bk, bv = (bqkv[i * c:(i + 1) * c].reshape(heads, 1, hd) for i in range(3))
     return {
         "mb": mb,
         "lns": w["ln_scale"].reshape(1, c), "lnb": w["ln_bias"].reshape(1, c),
-        "wq": wq, "wk": wk, "wv": wv, "bq": bq, "bk": bk, "bv": bv,
-        "wproj": w["proj_kernel"].reshape(heads, hd, c),
+        "wqkv": w["qkv_kernel"], "bqkv": w["qkv_bias"].reshape(1, 3 * c),
+        "wproj": w["proj_kernel"],
         "bproj": w["proj_bias"].reshape(1, c),
     }
 
 
-_WL_ORDER = ("lns", "lnb", "wq", "wk", "wv", "bq", "bk", "bv", "wproj", "bproj")
+_WL_ORDER = ("lns", "lnb", "wqkv", "bqkv", "wproj", "bproj")
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "n", "p_w", "interpret"))
@@ -148,7 +140,8 @@ def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     scale = hd**-0.5
     npad = -(-n // 8) * 8
     tile, _, _ = _choose_tile(
-        r, p_w, npad, c, heads, prepared["wq"].dtype.itemsize, n_act_bufs=3
+        r, p_w, npad, c, heads, prepared["wqkv"].dtype.itemsize, n_act_bufs=3,
+        scratch_bytes_per_window=npad * 4 * c * prepared["wqkv"].dtype.itemsize,
     )
     mbw = prepared["mb"].shape[1]
     if mbw == 1:
@@ -187,6 +180,10 @@ def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
             pl.BlockSpec((heads, mb_block, npad, npad), mb_index, memory_space=pltpu.VMEM),
         ] + [full(a) for a in wl],
         out_specs=(tile_spec, tile_spec),
+        scratch_shapes=[
+            pltpu.VMEM((tile * npad, 3 * c), x.dtype),
+            pltpu.VMEM((tile * npad, c), x.dtype),
+        ],
         cost_estimate=cost,
         interpret=interpret,
     )(xp, prepared["mb"], *wl)

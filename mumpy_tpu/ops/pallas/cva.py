@@ -114,33 +114,33 @@ def _axis_weights(coord, ws: int):
 
 def _cva_kernel(
     x1_ref, x2g_ref,
-    wqg_ref, bqg_ref, mw_ref, dwb_ref, lns_ref, lnb_ref, woff_ref,
-    wqh_ref, bqh_ref, wkgh_ref, bkh_ref, wvgh_ref, bvh_ref,
+    wq_ref, bq_ref, mw_ref, dwb_ref, lns_ref, lnb_ref, woff_ref,
+    wk_ref, bk_ref, wv_ref, bv_ref,
     wproj_ref,
     ey_ref, ex_ref, refy_ref, refx_ref,
-    out_ref,
+    out_ref, q_scr, s_scr, k_scr, v_scr, o_scr,
     *, groups, heads, n_valid, ws, scale, off_range,
 ):
     tile, npad, c = x1_ref.shape
     gc = c // groups
+    hd = c // heads
     x1 = x1_ref[:]
     dtype = x1.dtype
     x1_2d = x1.reshape(tile * npad, c)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
 
+    # full-width q projection once (shared by offsets and attention); per-group
+    # and per-head access is by lane-sliced scratch reads (swin_block rationale)
+    q_scr[:] = (jax.lax.dot_general(
+        x1_2d, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[:].astype(jnp.float32)).astype(dtype)
+
     # ---- per-group: offsets -> sampling matrix -> sampled partner ----
-    # accumulate k/v per head across groups (never concatenate on lanes)
-    kh_acc = [jnp.zeros((tile * npad, wkgh_ref.shape[-1]), jnp.float32)
-              for _ in range(heads)]
-    vh_acc = [jnp.zeros((tile * npad, wvgh_ref.shape[-1]), jnp.float32)
-              for _ in range(heads)]
     for g in range(groups):
-        # kept in f32: Mosaic's rotate only handles 32-bit data
-        qg = (jax.lax.dot_general(
-            x1_2d, wqg_ref[g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bqg_ref[g].astype(jnp.float32)).reshape(tile, npad, gc)
+        # f32 copy for the rolls: Mosaic's rotate only handles 32-bit data
+        qg = q_scr[:, g * gc:(g + 1) * gc].astype(jnp.float32).reshape(tile, npad, gc)
 
         # depthwise 5x5 over the window grid: static sublane rolls + masked
         # per-channel tap weights (no (tile, N, N) temporaries — an earlier
@@ -170,34 +170,26 @@ def _cva_kernel(
             wx.astype(dtype), ex_ref[:].astype(dtype),
             (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )  # (tile, npad_q, npad_src)
-        sampled = jax.lax.dot_general(
+        s_scr[:, g * gc:(g + 1) * gc] = jax.lax.dot_general(
             wmat.astype(dtype), x2g_ref[g], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype).reshape(tile * npad, gc)
 
-        for hh in range(heads):
-            kh_acc[hh] = kh_acc[hh] + jax.lax.dot_general(
-                sampled, wkgh_ref[g, hh], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            vh_acc[hh] = vh_acc[hh] + jax.lax.dot_general(
-                sampled, wvgh_ref[g, hh], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # full-width k/v projections of the sampled partner
+    k_scr[:] = (jax.lax.dot_general(
+        s_scr[:], wk_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bk_ref[:].astype(jnp.float32)).astype(dtype)
+    v_scr[:] = (jax.lax.dot_general(
+        s_scr[:], wv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bv_ref[:].astype(jnp.float32)).astype(dtype)
 
-    # ---- per-head attention + accumulated output projection ----
-    proj_acc = jnp.zeros((tile * npad, c), jnp.float32)
+    # ---- per-head attention, then one full-width output projection ----
     for hh in range(heads):
-        q = (jax.lax.dot_general(
-            x1_2d, wqh_ref[hh], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bqh_ref[hh].astype(jnp.float32)).astype(dtype)
-        hd = q.shape[-1]
-        k = (kh_acc[hh] + bkh_ref[hh].astype(jnp.float32)).astype(dtype)
-        v = (vh_acc[hh] + bvh_ref[hh].astype(jnp.float32)).astype(dtype)
-        q3 = q.reshape(tile, npad, hd)
-        k3 = k.reshape(tile, npad, hd)
-        v3 = v.reshape(tile, npad, hd)
+        q3 = q_scr[:, hh * hd:(hh + 1) * hd].reshape(tile, npad, hd)
+        k3 = k_scr[:, hh * hd:(hh + 1) * hd].reshape(tile, npad, hd)
+        v3 = v_scr[:, hh * hd:(hh + 1) * hd].reshape(tile, npad, hd)
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -206,18 +198,18 @@ def _cva_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o = jax.lax.dot_general(
+        o_scr[:, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype).reshape(tile * npad, hd)
-        proj_acc = proj_acc + jax.lax.dot_general(
-            o, wproj_ref[hh], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    proj = jax.lax.dot_general(
+        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     # proj_out BIAS is applied by the caller AFTER the ratio fold — the
     # reference projects the folded sum (``deformableAttention.py:394-399``),
     # and sum-then-bias != bias-then-sum when ratio > 1.
-    out_ref[:] = proj_acc.astype(dtype).reshape(tile, npad, c)
+    out_ref[:] = proj.astype(dtype).reshape(tile, npad, c)
 
 
 def prepare_cva_weights(weights, *, groups: int, heads: int, ws: int):
@@ -237,34 +229,26 @@ def prepare_cva_weights(weights, *, groups: int, heads: int, ws: int):
     ey, ex = _axis_expanders(ws, npad)
     refy, refx = _ref_points(ws, npad)
 
-    split_g = lambda a: a.reshape(c, groups, gc).transpose(1, 0, 2)  # (g, C, gc)
-    split_h = lambda a: a.reshape(c, heads, hd).transpose(1, 0, 2)  # (h, C, hd)
-    # (g, h, gc, hd): input rows grouped, output columns per head
-    split_gh = lambda a: a.reshape(groups, gc, heads, hd).transpose(0, 2, 1, 3)
-
     dwk = weights["dw_kernel"].reshape(25, 1, gc)  # (5,5,1,gc) -> taps
     masks = jnp.asarray(_tap_masks(ws, npad), wdtype)  # (25, npad, 1)
     return {
-        "wqg": split_g(wq), "bqg": weights["proj_q_bias"].reshape(groups, 1, gc),
+        "wq": wq, "bq": weights["proj_q_bias"].reshape(1, c),
         "mw": (masks * dwk.astype(wdtype)).astype(wdtype),  # (25, npad, gc)
         "dwb": weights["dw_bias"].reshape(1, gc).astype(wdtype),
         "lns": weights["ln_scale"].reshape(1, gc).astype(wdtype),
         "lnb": weights["ln_bias"].reshape(1, gc).astype(wdtype),
         "woff": weights["off_kernel"].reshape(gc, 2).astype(wdtype),
-        "wqh": split_h(wq), "bqh": weights["proj_q_bias"].reshape(heads, 1, hd),
-        "wkgh": split_gh(weights["proj_k_kernel"]),
-        "bkh": weights["proj_k_bias"].reshape(heads, 1, hd),
-        "wvgh": split_gh(weights["proj_v_kernel"]),
-        "bvh": weights["proj_v_bias"].reshape(heads, 1, hd),
-        "wproj": weights["proj_out_kernel"].reshape(heads, hd, c),
+        "wk": weights["proj_k_kernel"], "bk": weights["proj_k_bias"].reshape(1, c),
+        "wv": weights["proj_v_kernel"], "bv": weights["proj_v_bias"].reshape(1, c),
+        "wproj": weights["proj_out_kernel"],
         "bproj": weights["proj_out_bias"].reshape(1, c),  # applied post-fold
         "ey": jnp.asarray(ey, wdtype), "ex": jnp.asarray(ex, wdtype),
         "refy": jnp.asarray(refy, wdtype), "refx": jnp.asarray(refx, wdtype),
     }
 
 
-_WL_ORDER = ("wqg", "bqg", "mw", "dwb", "lns", "lnb", "woff",
-             "wqh", "bqh", "wkgh", "bkh", "wvgh", "bvh", "wproj",
+_WL_ORDER = ("wq", "bq", "mw", "dwb", "lns", "lnb", "woff",
+             "wk", "bk", "wv", "bv", "wproj",
              "ey", "ex", "refy", "refx")
 
 
@@ -278,12 +262,13 @@ def fused_cva_prepared(x1, x2g, prepared, *, groups: int, heads: int, ws: int,
     hd = c // heads
     scale = hd**-0.5
     npad = -(-n // 8) * 8
-    # tighter per-buffer cap: the kernel's own f32 temporaries (sampling
-    # matrices, per-head k/v accumulators) are ~8x the input tile
+    # tighter per-buffer cap: the kernel's own scratches + f32 sampling
+    # temporaries are ~8x the input tile
     tile, _, _ = _choose_tile(
-        r, 1, npad, c, heads, prepared["wqh"].dtype.itemsize, n_act_bufs=3,
-        extra_weight_bytes=prepared["wqh"].dtype.itemsize * c * c,
+        r, 1, npad, c, heads, prepared["wq"].dtype.itemsize, n_act_bufs=3,
+        extra_weight_bytes=prepared["wq"].dtype.itemsize * c * c,
         per_buf_cap=262_144,
+        scratch_bytes_per_window=npad * 5 * c * prepared["wq"].dtype.itemsize,
     )
 
     x1p = jnp.pad(x1, ((0, 0), (0, npad - n), (0, 0)))
@@ -313,6 +298,7 @@ def fused_cva_prepared(x1, x2g, prepared, *, groups: int, heads: int, ws: int,
             ),
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile * npad, c), x1.dtype) for _ in range(5)],
         cost_estimate=cost,
         interpret=interpret,
     )(x1p, x2p, *wl)

@@ -11,13 +11,13 @@ executes the ENTIRE block
 in one launch, with the block's weights resident in VMEM and activations never
 leaving the chip.
 
-Mosaic layout constraints shape the design: the last two dims (sublane, lane)
-of a VMEM array cannot be split or sliced freely, so per-head q/k/v/proj
-weights are pre-split on a LEADING axis outside the kernel ((H, C, hd) /
-(H, hd, C)) and heads run as an unrolled loop indexing that axis; the per-head
-attention output is folded into an f32 accumulator through the per-head slice
-of the output projection, so head outputs are never concatenated on the lane
-axis.  GELU uses a polynomial erf (Mosaic lowers neither erf nor erfc).
+Mosaic layout constraints shape the design: lane dims of VMEM *values* cannot
+be split or sliced freely, but lane-sliced REF loads/stores are fine — so qkv
+and the output projection run as FULL-WIDTH matmuls (per-head hd=32 splits
+used a quarter of the MXU lanes) through a VMEM scratch, and the per-head
+attention loop reads q/k/v lane slices from that scratch and writes its output
+slice into a second scratch that feeds the projection.  GELU uses a polynomial
+erf (Mosaic lowers neither erf nor erfc).
 
 Restrictions (checked by :func:`supported`): inference/forward only (training
 keeps the XLA implementation); weight footprint must fit VMEM (C <= 512 at
@@ -102,39 +102,36 @@ def _ln(x32, scale, bias, eps=1e-5):
 
 def _block_kernel(
     x_ref, mb_ref,
-    ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-    wproj_ref, bproj_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    out_ref,
+    out_ref, qkv_scr, o_scr,
     *, heads, n_valid, scale,
 ):
     tile, npad, c = x_ref.shape
+    hd = c // heads
     x = x_ref[:]
     dtype = x.dtype
 
     # ---- attention branch ----
+    # qkv and the output projection run FULL-WIDTH (the flop-dominant matmuls;
+    # per-head hd=32 variants used only a quarter of the MXU lanes).  Per-head
+    # attention reads lane slices from the qkv VMEM scratch — Mosaic supports
+    # lane-sliced REF loads even though value-level lane splits are not allowed.
     h1 = _ln(
         x.astype(jnp.float32), ln1s_ref[:].astype(jnp.float32),
         ln1b_ref[:].astype(jnp.float32),
     ).astype(dtype)
     h2d = h1.reshape(tile * npad, c)
+    qkv_scr[:] = (jax.lax.dot_general(
+        h2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
-    proj_acc = jnp.zeros((tile * npad, c), jnp.float32)
     for h in range(heads):
-        q = (jax.lax.dot_general(h2d, wq_ref[h], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + bq_ref[h].astype(jnp.float32)).astype(dtype)
-        k = (jax.lax.dot_general(h2d, wk_ref[h], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + bk_ref[h].astype(jnp.float32)).astype(dtype)
-        v = (jax.lax.dot_general(h2d, wv_ref[h], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + bv_ref[h].astype(jnp.float32)).astype(dtype)
-        hd = q.shape[-1]
-        q3 = q.reshape(tile, npad, hd)
-        k3 = k.reshape(tile, npad, hd)
-        v3 = v.reshape(tile, npad, hd)
+        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
+        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
+        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -143,15 +140,14 @@ def _block_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o = jax.lax.dot_general(
+        o_scr[:, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype).reshape(tile * npad, hd)
-        proj_acc = proj_acc + jax.lax.dot_general(
-            o, wproj_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    proj = proj_acc + bproj_ref[:].astype(jnp.float32)
+    proj = jax.lax.dot_general(
+        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[:].astype(jnp.float32)
     x = x + proj.astype(dtype).reshape(tile, npad, c)
 
     # ---- MLP branch ----
@@ -191,7 +187,7 @@ def _pick_tile(r: int, p_w: int, target: int = 8):
 
 def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
                  itemsize: int, n_act_bufs: int = 2, extra_weight_bytes: int = 0,
-                 per_buf_cap: int = 786_432):
+                 per_buf_cap: int = 786_432, scratch_bytes_per_window: int = 0):
     """Windows per grid step, VMEM-aware.
 
     The v5e probe showed per-step fixed cost dominates at small tiles (tile 8 on
@@ -218,9 +214,13 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
         total = (
             2 * (n_act_bufs * t * bpw_act + t * mask_bpw)
             + weight_bytes
-            + t * npad * c * 4  # f32 accumulator
+            + t * npad * c * 4  # f32 temporaries (LN out / softmax)
+            + t * scratch_bytes_per_window
         )
-        if per_buf <= per_buf_cap and total <= 12_000_000:
+        # budget 8MB of the 16MB scoped limit: Mosaic's stack allocator is
+        # conservative about elementwise-temporary liveness (a 9.7MB estimate
+        # compiled to a 16.9MB stack on the stage-0 shifted blocks)
+        if per_buf <= per_buf_cap and total <= 8_000_000:
             best = t
     return best, max(1, best // p_w), max(1, p_w // best)
 
@@ -243,6 +243,7 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
     _, reps, _ = _choose_tile(
         r, p_w, npad, c, heads, wdtype.itemsize,
         extra_weight_bytes=2 * c * m * wdtype.itemsize,
+        scratch_bytes_per_window=npad * 4 * c * wdtype.itemsize,
     )
 
     # store the additive term in the weight dtype: the XLA path adds the mask in
@@ -257,16 +258,13 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
     mb = mb.transpose(1, 0, 2, 3)  # (H, tile_w or 1, npad, npad)
 
     w = weights
-    wqkv = w["qkv_kernel"]  # (C, 3C): torch/our-flax column order is (3, H, hd)
-    bqkv = w["qkv_bias"]
-    wq, wk, wv = (wqkv[:, i * c:(i + 1) * c].reshape(c, heads, hd).transpose(1, 0, 2)
-                  for i in range(3))
-    bq, bk, bv = (bqkv[i * c:(i + 1) * c].reshape(heads, 1, hd) for i in range(3))
+    # qkv stays FULL-WIDTH (C, 3C) — torch/our-flax column order is (3, H, hd),
+    # so per-head lane slices inside the kernel are at offsets i*C + h*hd
     return {
         "mb": mb,
         "ln1s": w["ln1_scale"].reshape(1, c), "ln1b": w["ln1_bias"].reshape(1, c),
-        "wq": wq, "wk": wk, "wv": wv, "bq": bq, "bk": bk, "bv": bv,
-        "wproj": w["proj_kernel"].reshape(heads, hd, c),
+        "wqkv": w["qkv_kernel"], "bqkv": w["qkv_bias"].reshape(1, 3 * c),
+        "wproj": w["proj_kernel"],
         "bproj": w["proj_bias"].reshape(1, c),
         "ln2s": w["ln2_scale"].reshape(1, c), "ln2b": w["ln2_bias"].reshape(1, c),
         "wfc1": w["fc1_kernel"], "bfc1": w["fc1_bias"].reshape(1, -1),
@@ -274,7 +272,7 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
     }
 
 
-_WL_ORDER = ("ln1s", "ln1b", "wq", "wk", "wv", "bq", "bk", "bv",
+_WL_ORDER = ("ln1s", "ln1b", "wqkv", "bqkv",
              "wproj", "bproj", "ln2s", "ln2b", "wfc1", "bfc1", "wfc2", "bfc2")
 
 
@@ -291,10 +289,11 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     hd = c // heads
     scale = hd**-0.5
     npad = -(-n // 8) * 8
-    wdtype = prepared["wq"].dtype
+    wdtype = prepared["wqkv"].dtype
     tile, _, _ = _choose_tile(
         r, p_w, npad, c, heads, wdtype.itemsize,
         extra_weight_bytes=2 * c * prepared["wfc1"].shape[1] * wdtype.itemsize,
+        scratch_bytes_per_window=npad * 4 * c * wdtype.itemsize,
     )
     mbw = prepared["mb"].shape[1]
     if mbw == 1:
@@ -332,6 +331,10 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
             ),
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile * npad, 3 * c), x.dtype),  # qkv
+            pltpu.VMEM((tile * npad, c), x.dtype),      # per-head attn outputs
+        ],
         cost_estimate=cost,
         interpret=interpret,
     )(xp, prepared["mb"], *wl)

@@ -54,8 +54,10 @@ def main():
 
     steps = {}
     for variant in args.variants.split(","):
-        # variant syntax: "<sites>[/<fused_block>]", e.g. "none/off" = pure XLA
+        # variant syntax: "<sites>[/<fused_block>]", e.g. "none/off" = pure XLA;
+        # "+" in sites stands for "," (variants themselves are comma-separated)
         sites, _, block = variant.partition("/")
+        sites = sites.replace("+", ",")
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
             block or args.fused_block or "auto"
