@@ -111,12 +111,14 @@ class SwinDAttention(nn.Module):
         return out
 
     def _fused_call(self, x1r, x2, b1: int, ratio: int, deterministic: bool):
-        """Dispatch the whole deformable CVA to the fused pallas kernel.
+        """Dispatch the deformable CVA's sampling+attention to the fused kernel.
 
         Inference-only (dropout inactive); returns None when ineligible.  The
-        kernel computes everything through the per-head output projection; the
-        ratio fold and the proj_out BIAS are applied here (the reference folds
-        BEFORE projecting, ``deformableAttention.py:394-399``).
+        OFFSET branch stays in XLA (conv-shaped work XLA compiles well — an
+        in-kernel formulation was VPU-bound, see ops/pallas/cva.py); the same
+        flax submodules are reused by name so parameters are shared with the
+        XLA path.  The ratio fold and the proj_out BIAS are applied here (the
+        reference folds BEFORE projecting, ``deformableAttention.py:394-399``).
         """
         import os
 
@@ -143,10 +145,6 @@ class SwinDAttention(nn.Module):
                 "proj_v_kernel": v["proj_v"]["kernel"], "proj_v_bias": v["proj_v"]["bias"],
                 "proj_out_kernel": v["proj_out"]["kernel"],
                 "proj_out_bias": v["proj_out"]["bias"],
-                "dw_kernel": v["offset_dwconv"]["kernel"],
-                "dw_bias": v["offset_dwconv"]["bias"],
-                "ln_scale": v["offset_norm"]["scale"], "ln_bias": v["offset_norm"]["bias"],
-                "off_kernel": v["offset_proj"]["kernel"],
             }
             return pallas_cva.prepare_cva_weights(
                 weights, groups=self.n_groups, heads=self.num_heads, ws=self.window
@@ -159,11 +157,32 @@ class SwinDAttention(nn.Module):
         else:
             prepared = compute()
 
+        # ---- offset branch in XLA (same submodules/params as the XLA path) ----
+        ws = self.window
         g = self.n_groups
-        x2g = x2.reshape(r, n, g, c // g).transpose(2, 0, 1, 3)
+        gc = c // g
+        q = nn.Dense(c, kernel_init=trunc_init, name="proj_q")(x1r)
+        q_sp = q.reshape(r, ws, ws, g, gc).transpose(0, 3, 1, 2, 4)
+        q_sp = q_sp.reshape(r * g, ws, ws, gc)
+        off = nn.Conv(
+            gc, (5, 5), padding=2, feature_group_count=gc, kernel_init=trunc_init,
+            name="offset_dwconv",
+        )(q_sp)
+        off = nn.LayerNorm(epsilon=1e-5, name="offset_norm")(off)
+        off = gelu(off)
+        off = nn.Conv(2, (1, 1), use_bias=False, kernel_init=trunc_init,
+                      name="offset_proj")(off)
+        rng_scale = jnp.asarray([1.0 / ws, 1.0 / ws], dtype=off.dtype)
+        off = jnp.tanh(off) * rng_scale * self.offset_range_factor
+        pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)  # (y, x)
+        pos = pos.reshape(r, g, n, 2).transpose(1, 0, 2, 3).astype(jnp.float32)
+        gy = (pos[..., 0] + 1.0) * 0.5 * (ws - 1)  # absolute pixel coords
+        gx = (pos[..., 1] + 1.0) * 0.5 * (ws - 1)
+
+        x2g = x2.reshape(r, n, g, gc).transpose(2, 0, 1, 3)
         out = pallas_cva.fused_cva_prepared(
-            x1r, x2g, prepared, groups=g, heads=self.num_heads, ws=self.window,
-            off_range=self.offset_range_factor,
+            x1r, x2g, gy, gx, prepared,
+            groups=g, heads=self.num_heads, ws=ws,
             interpret=pallas_sb.attention_mode() == "interpret",
         )
         out = out.reshape(b1, ratio, n, c).sum(axis=1)

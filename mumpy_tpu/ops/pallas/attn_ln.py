@@ -16,10 +16,9 @@ C=768 (the full-block weight set exceeds the VMEM budget per tile, but the
 4C^2 attention weights fit — the MLP half goes through
 :func:`..ln_mlp.fused_ln_mlp`).
 
-Same Mosaic constraints as the whole-block kernel: per-head weight splits on a
-leading axis, per-head outputs folded through the output projection into an
-f32 accumulator (never concatenated on the lane axis), N padded to the sublane
-multiple with key masking.
+Same Mosaic-shaped structure as the whole-block kernel: full-width qkv and
+output-projection matmuls through VMEM scratch, per-head attention via
+lane-sliced ref loads, N padded to the sublane multiple with key masking.
 """
 
 from __future__ import annotations

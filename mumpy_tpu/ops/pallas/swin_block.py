@@ -152,8 +152,9 @@ def _block_kernel(
 
     # ---- MLP branch ----
     # chunked over windows: the (rows, 4C) f32 fc1/gelu temporaries are the
-    # kernel's largest live values — chunking keeps them ~1MB
-    wc = max(1, min(tile, 2))
+    # kernel's largest live values — chunk to ~2MB (larger chunks give the
+    # MXU taller M on the full-width fc matmuls)
+    wc = max(1, min(tile, 2_000_000 // (npad * wfc1_ref.shape[1] * 4)))
     for j in range(0, tile, wc):
         cc = min(wc, tile - j)  # odd tiles leave a 1-window remainder
         xs = x[j : j + cc]
@@ -187,7 +188,8 @@ def _pick_tile(r: int, p_w: int, target: int = 8):
 
 def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
                  itemsize: int, n_act_bufs: int = 2, extra_weight_bytes: int = 0,
-                 per_buf_cap: int = 786_432, scratch_bytes_per_window: int = 0):
+                 per_buf_cap: int = 786_432, scratch_bytes_per_window: int = 0,
+                 multiple_of: int = 1):
     """Windows per grid step, VMEM-aware.
 
     The v5e probe showed per-step fixed cost dominates at small tiles (tile 8 on
@@ -207,20 +209,26 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
     for t in range(1, r + 1):
         if r % t or not (t % p_w == 0 or p_w % t == 0):
             continue
+        # Mosaic block shapes: second-minor dims must be 8-multiples or the
+        # full array dim (needed by kernels with (…, tile, lane) operands)
+        if t % multiple_of and t != r:
+            continue
         if best is None:
             best = t  # smallest valid tile is the fallback
             continue
         per_buf = t * bpw_act
-        total = (
+        # resident weights are a FIXED cost (fetched once, constant block
+        # index); only the per-tile terms scale with t.  Mosaic's stack
+        # allocator is conservative about temporary liveness (a 12.4MB naive
+        # estimate compiled to a 16.9MB stack), hence the 1.5x safety factor
+        # on the variable terms against what the weights leave free.
+        variable = (
             2 * (n_act_bufs * t * bpw_act + t * mask_bpw)
-            + weight_bytes
-            + t * npad * c * 4  # f32 temporaries (LN out / softmax)
             + t * scratch_bytes_per_window
+            + 3 * t * npad * c * 4  # f32 temporaries (LN out / scores / gelu)
         )
-        # budget 8MB of the 16MB scoped limit: Mosaic's stack allocator is
-        # conservative about elementwise-temporary liveness (a 9.7MB estimate
-        # compiled to a 16.9MB stack on the stage-0 shifted blocks)
-        if per_buf <= per_buf_cap and total <= 8_000_000:
+        budget = 15_000_000 - weight_bytes
+        if per_buf <= per_buf_cap and 1.5 * variable <= budget:
             best = t
     return best, max(1, best // p_w), max(1, p_w // best)
 
