@@ -32,9 +32,9 @@ import jax.numpy as jnp
 
 def main():
     p = argparse.ArgumentParser()
-    # serving batch 16 measured best on v5e (scripts/batch_scaling.py:
-    # 4/8/16/32 -> 167/201/207/207 frames/s; flat beyond 16)
-    p.add_argument("--batch", type=int, default=16)
+    # serving batch 32 measured best on v5e with the full-width kernels
+    # (scripts/batch_scaling.py: 8/16/32 -> 247/252/259 frames/s)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])

@@ -86,18 +86,54 @@ class FreqGate(nn.Module):
 class TemporalSqueeze(nn.Module):
     """Conv3d(kernel=stride=(T,1,1)) + GroupNorm(16) + ReLU (``decoder.py:98-120``).
 
-    Input (B, T, n, C); the conv is a dense over the flattened (T, C) axis.
+    The reference tiles T=1 views to maxT along time before the conv
+    (``decoder.py:43-53``), tripling the tensor it then contracts away.  Here
+    the conv is a dense over the flattened (T, C) axis whose kernel rows for
+    time-duplicated channels are FOLDED (summed over their duplicate time
+    slots) instead — mathematically identical (the dense is linear), but the
+    3x-tiled merge tensor is never materialized.  Init runs the reference-
+    layout path so the parameter keeps its portable (maxT*sumC, out) shape.
     """
 
     out_dim: int
     height: int
 
     @nn.compact
-    def __call__(self, x):
-        b, t, n, c = x.shape
+    def __call__(self, views, temporal_dims):
         h = self.height
-        x = x.transpose(0, 2, 1, 3).reshape(b, h, n // h, t * c)  # (B, H, W, T*C)
-        x = nn.Dense(self.out_dim, kernel_init=trunc_init, name="proj")(x)
+        max_t = max(temporal_dims)
+        chans = [v.shape[-1] for v in views]
+        sum_c = sum(chans)
+
+        if self.is_initializing() or not self.has_variable("params", "proj"):
+            x = merge_views_along_channel_axis(views, temporal_dims)
+            b, t, n, c = x.shape
+            x = x.transpose(0, 2, 1, 3).reshape(b, h, n // h, t * c)
+            x = nn.Dense(self.out_dim, kernel_init=trunc_init, name="proj")(x)
+        else:
+            w = self.variables["params"]["proj"]["kernel"]  # (maxT*sumC, out)
+            bias = self.variables["params"]["proj"]["bias"]
+            xparts, wparts = [], []
+            off = 0
+            for t_dim, v, c in zip(temporal_dims, views, chans):
+                b = v.shape[0]
+                v = v.reshape(b, t_dim, -1, c)
+                n = v.shape[2]
+                # view slice at time t is v[t % t_dim] (torch tile order)
+                v = v.transpose(0, 2, 1, 3).reshape(b, n, t_dim * c)
+                xparts.append(v)
+                for j in range(t_dim):
+                    wj = sum(
+                        w[t * sum_c + off : t * sum_c + off + c]
+                        for t in range(max_t)
+                        if t % t_dim == j
+                    )
+                    wparts.append(wj)
+                off += c
+            xc = jnp.concatenate(xparts, axis=-1)
+            wc = jnp.concatenate(wparts, axis=0)
+            b, n, _ = xc.shape
+            x = (xc @ wc + bias).reshape(b, h, n // h, self.out_dim)
         x = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn")(x)
         return nn.relu(x)
 
@@ -119,9 +155,10 @@ class MumpyDecoder(nn.Module):
 
         rgb = []
         for s in range(4):
-            merged = merge_views_along_channel_axis(view_x[s], tdims)
             rgb.append(
-                TemporalSqueeze(feats[s], shapes[s], name=f"rgb_decoder_{s + 1}")(merged)
+                TemporalSqueeze(feats[s], shapes[s], name=f"rgb_decoder_{s + 1}")(
+                    view_x[s], tdims
+                )
             )
         rgb1, rgb2, rgb3, rgb4 = rgb
 
