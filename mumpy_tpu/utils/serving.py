@@ -17,7 +17,44 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["prepare_for_inference"]
+__all__ = ["prepare_for_inference", "make_serving_forward"]
+
+
+def make_serving_forward(model, variables, mesh=None):
+    """Jitted sigmoid-forward for serving, data-parallel over ``mesh``.
+
+    The reference serves on at most one GPU (``test.py:56-58`` wraps the model
+    in DataParallel but iterates batch-1); here the clip batch is sharded on
+    the mesh's data axis and parameters are replicated — XLA partitions the
+    whole forward with zero collectives (the model is batch-elementwise), so
+    throughput scales linearly over ICI.  With ``mesh=None`` or a single
+    device this degenerates to a plain jit.
+
+    Returns ``(forward, put)`` where ``put(clip)`` device-puts a host batch
+    with the right sharding (batch size must divide by the mesh size).
+    """
+    import jax
+
+    from ..parallel.mesh import batch_sharding, replicated_sharding
+
+    if mesh is None or mesh.size == 1:
+        fwd = jax.jit(
+            lambda clip: jax.nn.sigmoid(
+                model.apply(variables, clip, deterministic=True)
+            )
+        )
+        return fwd, jax.device_put
+
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+    variables = jax.device_put(variables, rsh)
+
+    @jax.jit
+    def fwd(clip):
+        logits = model.apply(variables, clip, deterministic=True)
+        return jax.nn.sigmoid(logits)
+
+    return fwd, (lambda clip: jax.device_put(clip, bsh))
 
 
 def prepare_for_inference(

@@ -55,10 +55,17 @@ def main():
     )
     variables = prepare_for_inference(model, {"params": state.params}, example)
 
-    @jax.jit
-    def forward(clip):
-        logits = model.apply(variables, clip, deterministic=True)
-        return jax.nn.sigmoid(logits)
+    # data-parallel serving: shard the clip batch over every available chip
+    # (the reference serves on one GPU at batch 1, ``test.py:41-58``)
+    from mumpy_tpu.parallel.mesh import make_mesh
+    from mumpy_tpu.utils.serving import make_serving_forward
+
+    devices = jax.devices()
+    n_dev = len(devices) if bs_example % max(len(devices), 1) == 0 else 1
+    mesh = make_mesh(devices[:n_dev]) if n_dev > 1 else None
+    if mesh is not None:
+        print(f"Serving data-parallel over {n_dev} devices")
+    forward, put_batch = make_serving_forward(model, variables, mesh)
 
     ds = ClipDataset(data_cfg, args.eval_split)
     # unlike the reference's fixed batch-1 loop (``test.py:41-45``), inference is
@@ -73,7 +80,7 @@ def main():
         n = imgs.shape[0]
         if n < bs:  # pad the tail batch to keep shapes static
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n, axis=0)], axis=0)
-        probs = np.asarray(forward(jnp.asarray(imgs)))  # (bs, H, W, 1)
+        probs = np.asarray(forward(put_batch(jnp.asarray(imgs))))  # (bs, H, W, 1)
         for i in range(n):
             mask = (probs[i, :, :, 0] > 0.5).astype(np.uint8) * 255
             seq = batch["seq_name"][i]
