@@ -55,6 +55,10 @@ class MumpyConfig:
     # rematerialize the scanned block-pair bodies under grad: trades ~1 extra
     # forward of the deep stages for O(depth) -> O(1) activation memory
     remat: bool = True
+    # "full": recompute everything in the bwd pass; "dots": save matmul
+    # outputs and recompute only elementwise ops (jax dots_with_no_batch_dims
+    # policy) — more HBM, less recompute
+    remat_policy: str = "full"
     # decoder
     decoder_num_classes: int = 32
     decoder_dap_k: int = 2

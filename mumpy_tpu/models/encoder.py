@@ -310,7 +310,15 @@ class ThreeViewStages(nn.Module):
                     # the training path — checkpoint barriers restrict XLA fusion,
                     # which pure inference should not pay for.
                     use_remat = cfg.remat and not deterministic
-                    body = nn.remat(PlainBlockPair) if use_remat else PlainBlockPair
+                    if use_remat and cfg.remat_policy == "dots":
+                        body = nn.remat(
+                            PlainBlockPair,
+                            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                        )
+                    elif use_remat:
+                        body = nn.remat(PlainBlockPair)
+                    else:
+                        body = PlainBlockPair
                     # inference: fully unroll the scan — per-iteration DYNAMIC
                     # slices of the stacked params/prepared operands become
                     # static leading-dim slices (zero-copy views into the
