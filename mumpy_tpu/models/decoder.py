@@ -111,27 +111,37 @@ class TemporalSqueeze(nn.Module):
             x = x.transpose(0, 2, 1, 3).reshape(b, h, n // h, t * c)
             x = nn.Dense(self.out_dim, kernel_init=trunc_init, name="proj")(x)
         else:
-            w = self.variables["params"]["proj"]["kernel"]  # (maxT*sumC, out)
+            def fold_kernel():
+                # pure layout work on parameters — cached in the "prepared"
+                # collection by prepare_for_inference like the kernel operands
+                w = self.variables["params"]["proj"]["kernel"]  # (maxT*sumC, out)
+                wparts = []
+                off = 0
+                for t_dim, c in zip(temporal_dims, chans):
+                    for j in range(t_dim):
+                        wparts.append(sum(
+                            w[t * sum_c + off : t * sum_c + off + c]
+                            for t in range(max_t)
+                            if t % t_dim == j
+                        ))
+                    off += c
+                return jnp.concatenate(wparts, axis=0)
+
+            if self.has_variable("prepared", "folded_kernel"):
+                wc = self.get_variable("prepared", "folded_kernel")
+            elif self.is_mutable_collection("prepared"):
+                wc = self.variable("prepared", "folded_kernel", fold_kernel).value
+            else:
+                wc = fold_kernel()
             bias = self.variables["params"]["proj"]["bias"]
-            xparts, wparts = [], []
-            off = 0
+            xparts = []
             for t_dim, v, c in zip(temporal_dims, views, chans):
                 b = v.shape[0]
                 v = v.reshape(b, t_dim, -1, c)
                 n = v.shape[2]
                 # view slice at time t is v[t % t_dim] (torch tile order)
-                v = v.transpose(0, 2, 1, 3).reshape(b, n, t_dim * c)
-                xparts.append(v)
-                for j in range(t_dim):
-                    wj = sum(
-                        w[t * sum_c + off : t * sum_c + off + c]
-                        for t in range(max_t)
-                        if t % t_dim == j
-                    )
-                    wparts.append(wj)
-                off += c
+                xparts.append(v.transpose(0, 2, 1, 3).reshape(b, n, t_dim * c))
             xc = jnp.concatenate(xparts, axis=-1)
-            wc = jnp.concatenate(wparts, axis=0)
             b, n, _ = xc.shape
             x = (xc @ wc + bias).reshape(b, h, n // h, self.out_dim)
         x = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn")(x)

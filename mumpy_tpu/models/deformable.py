@@ -67,22 +67,7 @@ class SwinDAttention(nn.Module):
         if fused is not None:
             return fused
 
-        q = nn.Dense(c, kernel_init=trunc_init, name="proj_q")(x1r)  # 1x1 conv == dense
-
-        # ---- offset prediction on grouped queries ----
-        q_sp = q.reshape(b2, ws, ws, g, gc).transpose(0, 3, 1, 2, 4).reshape(b2 * g, ws, ws, gc)
-        off = nn.Conv(
-            gc, (5, 5), padding=2, feature_group_count=gc, kernel_init=trunc_init,
-            name="offset_dwconv",
-        )(q_sp)
-        off = nn.LayerNorm(epsilon=1e-5, name="offset_norm")(off)
-        off = gelu(off)
-        off = nn.Conv(2, (1, 1), use_bias=False, kernel_init=trunc_init, name="offset_proj")(off)
-        if self.offset_range_factor > 0:
-            rng_scale = jnp.asarray([1.0 / ws, 1.0 / ws], dtype=off.dtype)
-            off = jnp.tanh(off) * rng_scale * self.offset_range_factor
-
-        pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)  # (B2*g, ws, ws, 2) (y, x)
+        q, pos = self._query_and_positions(x1r)  # pos: (B2*g, ws, ws, 2) (y, x)
         grid = pos[..., ::-1].reshape(b2 * g, n, 2)  # -> (x, y) order
 
         # ---- sample the partner view per offset group ----
@@ -109,6 +94,32 @@ class SwinDAttention(nn.Module):
         )(out)
         out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
         return out
+
+    def _query_and_positions(self, x1r):
+        """Shared query projection + offset branch (``:324-345``): returns the
+        full-width queries (R, N, C) and per-group normalized (y, x) sample
+        positions (R*g, ws, ws, 2).  Single source of truth for both the XLA
+        and the fused-kernel paths (same submodule names = shared params)."""
+        ws = self.window
+        g = self.n_groups
+        r, n, c = x1r.shape
+        gc = c // g
+        q = nn.Dense(c, kernel_init=trunc_init, name="proj_q")(x1r)  # 1x1 conv
+        q_sp = q.reshape(r, ws, ws, g, gc).transpose(0, 3, 1, 2, 4)
+        q_sp = q_sp.reshape(r * g, ws, ws, gc)
+        off = nn.Conv(
+            gc, (5, 5), padding=2, feature_group_count=gc, kernel_init=trunc_init,
+            name="offset_dwconv",
+        )(q_sp)
+        off = nn.LayerNorm(epsilon=1e-5, name="offset_norm")(off)
+        off = gelu(off)
+        off = nn.Conv(2, (1, 1), use_bias=False, kernel_init=trunc_init,
+                      name="offset_proj")(off)
+        if self.offset_range_factor > 0:
+            rng_scale = jnp.asarray([1.0 / ws, 1.0 / ws], dtype=off.dtype)
+            off = jnp.tanh(off) * rng_scale * self.offset_range_factor
+        pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)
+        return q, pos
 
     def _fused_call(self, x1r, x2, b1: int, ratio: int, deterministic: bool):
         """Dispatch the deformable CVA's sampling+attention to the fused kernel.
@@ -157,24 +168,11 @@ class SwinDAttention(nn.Module):
         else:
             prepared = compute()
 
-        # ---- offset branch in XLA (same submodules/params as the XLA path) ----
+        # ---- offset branch in XLA (shared helper = shared submodules/params) ----
         ws = self.window
         g = self.n_groups
         gc = c // g
-        q = nn.Dense(c, kernel_init=trunc_init, name="proj_q")(x1r)
-        q_sp = q.reshape(r, ws, ws, g, gc).transpose(0, 3, 1, 2, 4)
-        q_sp = q_sp.reshape(r * g, ws, ws, gc)
-        off = nn.Conv(
-            gc, (5, 5), padding=2, feature_group_count=gc, kernel_init=trunc_init,
-            name="offset_dwconv",
-        )(q_sp)
-        off = nn.LayerNorm(epsilon=1e-5, name="offset_norm")(off)
-        off = gelu(off)
-        off = nn.Conv(2, (1, 1), use_bias=False, kernel_init=trunc_init,
-                      name="offset_proj")(off)
-        rng_scale = jnp.asarray([1.0 / ws, 1.0 / ws], dtype=off.dtype)
-        off = jnp.tanh(off) * rng_scale * self.offset_range_factor
-        pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)  # (y, x)
+        _, pos = self._query_and_positions(x1r)  # (r*g, ws, ws, 2) (y, x)
         pos = pos.reshape(r, g, n, 2).transpose(1, 0, 2, 3).astype(jnp.float32)
         gy = (pos[..., 0] + 1.0) * 0.5 * (ws - 1)  # absolute pixel coords
         gx = (pos[..., 1] + 1.0) * 0.5 * (ws - 1)

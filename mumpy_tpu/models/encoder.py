@@ -297,9 +297,22 @@ class ThreeViewStages(nn.Module):
                 wclamp = vcfgs[v].window_size
                 if min(res) <= wclamp:
                     wclamp = min(res)
-                use_wd = param_itemsize is not None and pallas_sb.supported(
-                    hs, int(hs * 4.0), wclamp * wclamp, param_itemsize
-                )
+                # eligibility must agree exactly with SwinBlock's own check
+                # (swin.py asserts if a window-layout carry reaches the XLA
+                # path), so read the REAL fc1 kernel of this stack's blocks
+                # instead of re-deriving mlp width / dtype from assumptions
+                use_wd = False
+                if param_itemsize is not None:
+                    p = self.variables["params"]
+                    name = (f"stage{s}_pairs_view{v + 1}" if n_plain > 1
+                            else f"stage{s}_last_view{v + 1}")
+                    sub = p.get(name, {})
+                    if n_plain > 1:
+                        sub = sub.get("shifted", {})
+                    fc1 = sub.get("mlp", {}).get("fc1", {}).get("kernel")
+                    use_wd = fc1 is not None and pallas_sb.supported(
+                        hs, fc1.shape[-1], wclamp * wclamp, fc1.dtype.itemsize
+                    )
                 if use_wd:
                     t_v = vcfgs[v].temporal_dim
                     gh, gw = t_v * res[0], res[1]
@@ -309,6 +322,11 @@ class ThreeViewStages(nn.Module):
                     # stage at the cost of one extra forward under grad.  Only on
                     # the training path — checkpoint barriers restrict XLA fusion,
                     # which pure inference should not pay for.
+                    if cfg.remat_policy not in ("full", "dots"):
+                        raise ValueError(
+                            f"remat_policy must be 'full' or 'dots', got "
+                            f"{cfg.remat_policy!r}"
+                        )
                     use_remat = cfg.remat and not deterministic
                     if use_remat and cfg.remat_policy == "dots":
                         body = nn.remat(

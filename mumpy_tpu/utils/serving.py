@@ -20,22 +20,26 @@ import jax.numpy as jnp
 __all__ = ["prepare_for_inference", "make_serving_forward"]
 
 
-def make_serving_forward(model, variables, mesh=None):
+def make_serving_forward(model, variables, mesh=None, example_clip=None):
     """Jitted sigmoid-forward for serving, data-parallel over ``mesh``.
 
     The reference serves on at most one GPU (``test.py:56-58`` wraps the model
     in DataParallel but iterates batch-1); here the clip batch is sharded on
-    the mesh's data axis and parameters are replicated — XLA partitions the
-    whole forward with zero collectives (the model is batch-elementwise), so
-    throughput scales linearly over ICI.  With ``mesh=None`` or a single
-    device this degenerates to a plain jit.
+    the mesh's data axis via ``shard_map`` — every device runs the complete
+    per-shard program locally, so the pallas custom calls never need a GSPMD
+    partitioning rule and no collectives are inserted (the model is
+    batch-elementwise).  The "prepared" fused-kernel operands depend on the
+    per-device window count, so they are re-captured at the per-device batch
+    (``example_clip`` must be a full global batch when a mesh is given).
+    With ``mesh=None`` or a single device this degenerates to a plain jit.
 
     Returns ``(forward, put)`` where ``put(clip)`` device-puts a host batch
     with the right sharding (batch size must divide by the mesh size).
     """
     import jax
+    from jax.sharding import PartitionSpec as P
 
-    from ..parallel.mesh import batch_sharding, replicated_sharding
+    from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
 
     if mesh is None or mesh.size == 1:
         fwd = jax.jit(
@@ -45,15 +49,23 @@ def make_serving_forward(model, variables, mesh=None):
         )
         return fwd, jax.device_put
 
+    if example_clip is not None:
+        per_dev = example_clip[: example_clip.shape[0] // mesh.size]
+        variables = prepare_for_inference(
+            model, {"params": variables["params"]}, per_dev
+        )
+
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
     variables = jax.device_put(variables, rsh)
 
-    @jax.jit
-    def fwd(clip):
-        logits = model.apply(variables, clip, deterministic=True)
-        return jax.nn.sigmoid(logits)
+    def per_shard(v, clip):
+        return jax.nn.sigmoid(model.apply(v, clip, deterministic=True))
 
+    smapped = jax.shard_map(
+        per_shard, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+    )
+    fwd = jax.jit(lambda clip: smapped(variables, clip))
     return fwd, (lambda clip: jax.device_put(clip, bsh))
 
 

@@ -10,7 +10,6 @@ tunnel is ~±8%, interleaved within-run spread is ~±0.3%).  Components:
   stages-2    encoder with depths (2,2,2,2) — isolates the deep stage-2 stacks
   global-1    encoder with a 1-layer global ViT — isolates the temporal ViT
   cva-window  encoder with the window-CVA variant — isolates deformable CVA
-  tokenize    the three patch embeds + FAF only
 """
 
 import argparse

@@ -26,11 +26,7 @@ def main():
     by_op = collections.Counter()
     by_copy = collections.Counter()
     total = 0
-    for line in tpu.lines:
-        if "XLA Op" not in line.name and "Steps" not in line.name:
-            # use the op-level line only; fallback handled below
-            pass
-    # pick the line with the most events that carries op metadata
+    # the op-level line carries per-HLO events; pick the busiest line
     line = max(tpu.lines, key=lambda l: len(l.events))
     for ev in line.events:
         md = tpu.event_metadata[ev.metadata_id]
@@ -50,7 +46,6 @@ def main():
         op = (md.display_name or md.name).split(".")[0]
         by_op[op] += dur
         if op in ("copy", "fusion", "reshape", "pad"):
-            by_scope[f"[{op}] " + "/".join(parts[3:6])] += 0  # marker only
             by_copy[("/".join(parts[3:6]), op)] += dur
     print(f"line: {line.name}; total device us across trace: {total:.0f}")
     print("\ntop scopes (us):")

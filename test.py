@@ -65,7 +65,7 @@ def main():
     mesh = make_mesh(devices[:n_dev]) if n_dev > 1 else None
     if mesh is not None:
         print(f"Serving data-parallel over {n_dev} devices")
-    forward, put_batch = make_serving_forward(model, variables, mesh)
+    forward, put_batch = make_serving_forward(model, variables, mesh, example)
 
     ds = ClipDataset(data_cfg, args.eval_split)
     # unlike the reference's fixed batch-1 loop (``test.py:41-45``), inference is
