@@ -74,8 +74,11 @@ def fused_attn_branch(module, x, num_heads, weights_fn, mask_bias_fn, p_w,
     """
     import os
 
+    # NOTE: this gate is TRACE-TIME only — it is read when jit traces (or when
+    # prepared operands are captured); changing the env afterwards has no effect.
     sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
-    if sites == "none" or (sites != "all" and site not in sites.split(",")):
+    site_set = {t.strip() for t in sites.split(",")}
+    if sites == "none" or (sites != "all" and site not in site_set):
         return None
     if not (
         deterministic
@@ -293,10 +296,14 @@ class SwinBlock(nn.Module):
         )
         if use_fused:
             return self._fused_call(x, window, shift, pre_windowed)
-        assert not pre_windowed, (
-            "pre_windowed carry reached the XLA path — the caller's eligibility "
-            "check disagrees with SwinBlock's"
-        )
+        if pre_windowed:
+            # ValueError (not assert): a window-major carry silently flowing
+            # through the image-layout path would produce wrong outputs, and
+            # asserts are stripped under python -O.
+            raise ValueError(
+                "pre_windowed carry reached the XLA path — the caller's "
+                "eligibility check disagrees with SwinBlock's"
+            )
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)

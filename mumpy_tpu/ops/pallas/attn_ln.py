@@ -146,9 +146,13 @@ def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     if mbw == 1:
         mb_block, mb_index = 1, (lambda i: (0, 0, 0, 0))
     else:
-        assert mbw % tile == 0, (
-            f"prepared additive term tiled for a different batch (mb rows {mbw}, "
-            f"tile {tile}): re-run prepare_for_inference at this batch size")
+        if mbw % tile != 0:
+            # ValueError, not assert: a mismatched prepared batch would read
+            # wrong mask rows, and asserts are stripped under python -O.
+            raise ValueError(
+                f"prepared additive term tiled for a different batch (mb rows "
+                f"{mbw}, tile {tile}): re-run prepare_for_inference at this "
+                "batch size")
         nb = mbw // tile
         mb_block, mb_index = tile, (lambda i, nb=nb: (0, i % nb, 0, 0))
 

@@ -213,9 +213,6 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
         # full array dim (needed by kernels with (…, tile, lane) operands)
         if t % multiple_of and t != r:
             continue
-        if best is None:
-            best = t  # smallest valid tile is the fallback
-            continue
         per_buf = t * bpw_act
         # resident weights are a FIXED cost (fetched once, constant block
         # index); only the per-tile terms scale with t.  Mosaic's stack
@@ -230,6 +227,18 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
         budget = 15_000_000 - weight_bytes
         if per_buf <= per_buf_cap and 1.5 * variable <= budget:
             best = t
+    if best is None:
+        # Every tile satisfying the divisibility/multiple_of constraints blows
+        # the VMEM budget (e.g. multiple_of forces tile == r on a huge r).
+        # Raising here surfaces the problem at trace time with a clear message
+        # instead of an opaque Mosaic allocation failure at compile time;
+        # callers gate dispatch on ``supported()`` so this indicates a gap in
+        # that gate, and the fix is to widen it or use the XLA path.
+        raise ValueError(
+            f"no VMEM-feasible kernel tile: r={r}, p_w={p_w}, npad={npad}, "
+            f"c={c}, multiple_of={multiple_of}, weight_bytes={weight_bytes} "
+            "— run this shape on the XLA path (MUMPY_FUSED_BLOCK=off)"
+        )
     return best, max(1, best // p_w), max(1, p_w // best)
 
 
@@ -307,9 +316,12 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     if mbw == 1:
         mb_block, mb_index = 1, (lambda i: (0, 0, 0, 0))
     else:
-        assert mbw % tile == 0, (
-            f"prepared mask tiled for a different batch (mb rows {mbw}, tile "
-            f"{tile}): re-run prepare_for_inference at this batch size")
+        if mbw % tile != 0:
+            # ValueError, not assert: a mismatched prepared batch would read
+            # wrong mask rows, and asserts are stripped under python -O.
+            raise ValueError(
+                f"prepared mask tiled for a different batch (mb rows {mbw}, "
+                f"tile {tile}): re-run prepare_for_inference at this batch size")
         nb = mbw // tile
         mb_block, mb_index = tile, (lambda i, nb=nb: (0, i % nb, 0, 0))
 

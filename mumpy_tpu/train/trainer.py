@@ -50,6 +50,7 @@ class TrainLoopConfig:
     # params, bf16 forward/backward)
     compute_dtype: str = "f32"
     print_every: int = 10
+    image_every: int = 200  # TB prediction/mask grid cadence (``train.py:386``)
     seed: int = 282845927  # reference default (``args.py``)
 
 
@@ -89,7 +90,7 @@ def _loss_for_batch(apply_fn, params, batch, rng, deterministic, compute_dtype=N
     ).astype(jnp.float32)
     b = logits.shape[0]
     loss, (iou, foc) = total_loss(batch["mask"].reshape(b, -1), logits.reshape(b, -1))
-    return loss, (iou, foc)
+    return loss, (iou, foc, logits)
 
 
 def train_step(state: TrainState, batch, rng, compute_dtype=None):
@@ -101,13 +102,17 @@ def train_step(state: TrainState, batch, rng, compute_dtype=None):
         lambda p: _loss_for_batch(state.apply_fn, p, batch, rng, False, compute_dtype),
         has_aux=True,
     )
-    (loss, (iou, foc)), grads = grad_fn(state.params)
+    (loss, (iou, foc, logits)), grads = grad_fn(state.params)
     state = state.apply_gradients(grads=grads)
-    return state, {"total": loss, "iou": iou, "focal": foc}
+    # sigmoid predictions ride along for the periodic TensorBoard image grids
+    # (``train.py:386-390``); they stay on-device (batch-sharded) and cost a
+    # host transfer only when the loop actually fetches them
+    preds = jax.nn.sigmoid(logits)[..., 0]
+    return state, {"total": loss, "iou": iou, "focal": foc, "preds": preds}
 
 
 def val_step(state: TrainState, batch, compute_dtype=None):
-    loss, (iou, foc) = _loss_for_batch(
+    loss, (iou, foc, _) = _loss_for_batch(
         state.apply_fn, state.params, batch, None, True, compute_dtype
     )
     return {"total": loss, "iou": iou, "focal": foc}
@@ -124,7 +129,7 @@ def make_jitted_steps(mesh=None, compute_dtype=None):
     jtrain = jax.jit(
         functools.partial(train_step, compute_dtype=compute_dtype),
         in_shardings=(rsh, {"image": bsh, "mask": bsh}, rsh),
-        out_shardings=(rsh, rsh),
+        out_shardings=(rsh, {"total": rsh, "iou": rsh, "focal": rsh, "preds": bsh}),
         donate_argnums=(0,),
     )
     jval = jax.jit(
@@ -159,6 +164,35 @@ class MetricsWriter:
             for k, v in scalars.items():
                 self.tb.add_scalar(f"{split}/{k}", float(v), step)
 
+    def write_image_grid(self, tag: str, images, step: int,
+                         nrow: int = 8, padding: int = 2):
+        """Tile (B, H, W) images into one grid and log it (the reference writes
+        prediction/mask grids every 200 steps via ``vutils.make_grid(normalize=
+        True, scale_each=True)``, ``train.py:386-390``).
+
+        Mirrors make_grid semantics: per-image min-max normalization to [0, 1]
+        (``scale_each``), ``nrow`` images per row, ``padding``-pixel separators.
+        """
+        if self.tb is None:
+            return
+        imgs = np.asarray(images, dtype=np.float32)
+        b, h, w = imgs.shape
+        lo = imgs.min(axis=(1, 2), keepdims=True)
+        hi = imgs.max(axis=(1, 2), keepdims=True)
+        imgs = (imgs - lo) / np.maximum(hi - lo, 1e-5)
+        ncol = min(nrow, b)
+        nr = -(-b // ncol)
+        grid = np.zeros(
+            (nr * (h + padding) + padding, ncol * (w + padding) + padding),
+            np.float32,
+        )
+        for i in range(b):
+            r, c = divmod(i, ncol)
+            y0 = padding + r * (h + padding)
+            x0 = padding + c * (w + padding)
+            grid[y0:y0 + h, x0:x0 + w] = imgs[i]
+        self.tb.add_image(tag, grid[None], step)  # (1, H, W) CHW
+
     def close(self):
         self._f.close()
         if self.tb is not None:
@@ -189,6 +223,10 @@ def train_loop(
 
     best_val_loss = loop_cfg.best_val_loss
     acc_patience = 0
+    # the reference fires the best-checkpoint reload AT MOST ONCE: it is gated
+    # on ``not args.update_encoder`` and flips that flag when it fires
+    # (``train.py:449-459``)
+    reload_fired = False
     mt_val = -1.0
     tstep = 0
     t0 = time.time()
@@ -203,8 +241,18 @@ def train_loop(
                 batch = shard_batch(batch, mesh)
                 if split == "train":
                     state, m = jtrain(state, batch, rng)
+                    preds = m.pop("preds", None)
                     writer.write(tstep, "train", {k: v for k, v in m.items()})
                     writer.write(tstep, "lr", current_lrs(tstep, opt_cfg, iter_max))
+                    if (preds is not None
+                            and tstep % loop_cfg.image_every == 0):
+                        # prediction/mask grids (``train.py:386-390``)
+                        hw = int(np.sqrt(np.asarray(batch["mask"]).shape[-1]))
+                        writer.write_image_grid("prediction", preds, tstep)
+                        writer.write_image_grid(
+                            "masks",
+                            np.asarray(batch["mask"]).reshape(-1, hw, hw), tstep,
+                        )
                     tstep += 1
                 else:
                     m = jval(state, batch)
@@ -241,8 +289,10 @@ def train_loop(
             acc_patience = 0
         else:
             acc_patience += 1
-            if acc_patience > loop_cfg.patience and loop_cfg.patience_reload:
-                # reload best checkpoint and keep going (``train.py:449-459``)
+            if (acc_patience > loop_cfg.patience and loop_cfg.patience_reload
+                    and not reload_fired):
+                # reload best checkpoint ONCE and keep going (``train.py:449-459``)
+                reload_fired = True
                 restored = ckpt_lib.load_latest(model_dir, state)
                 if restored is not None:
                     state = restored

@@ -54,6 +54,13 @@ def make_serving_forward(model, variables, mesh=None, example_clip=None):
         variables = prepare_for_inference(
             model, {"params": variables["params"]}, per_dev
         )
+    elif "prepared" in variables:
+        # A caller-supplied "prepared" collection was captured at the GLOBAL
+        # batch; inside the per-device shard the window count differs, so the
+        # batch-tiled shifted-window masks would trip the mbw % tile check at
+        # trace time.  Strip it — the fused blocks then compute their operands
+        # inline (correct, slower); pass example_clip to re-capture per-device.
+        variables = {k: v for k, v in variables.items() if k != "prepared"}
 
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)

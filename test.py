@@ -61,10 +61,15 @@ def main():
     from mumpy_tpu.utils.serving import make_serving_forward
 
     devices = jax.devices()
-    n_dev = len(devices) if bs_example % max(len(devices), 1) == 0 else 1
+    # largest device count that divides the batch (not all-or-one: batch 6 on
+    # 4 devices still serves on 2)
+    n_dev = max(d for d in range(1, len(devices) + 1) if bs_example % d == 0)
     mesh = make_mesh(devices[:n_dev]) if n_dev > 1 else None
     if mesh is not None:
         print(f"Serving data-parallel over {n_dev} devices")
+    elif len(devices) > 1:
+        print(f"Serving on 1 of {len(devices)} devices "
+              f"(batch {bs_example} has no multi-device divisor)")
     forward, put_batch = make_serving_forward(model, variables, mesh, example)
 
     ds = ClipDataset(data_cfg, args.eval_split)

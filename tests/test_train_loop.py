@@ -79,6 +79,18 @@ def test_patience_reloads_best(monkeypatch, tmp_path):
     assert isinstance(out, FakeState) and out.tag == "best"
 
 
+def test_patience_reload_fires_at_most_once(monkeypatch, tmp_path):
+    # the reference gates the reload on ``not args.update_encoder`` and flips
+    # that flag when it fires (``train.py:449-459``) — a second stall past
+    # patience must NOT reload again
+    events, _ = _run_loop(
+        monkeypatch, tmp_path, [0.5, 0.9, 0.9, 0.9, 0.9, 0.9],
+    )
+    # epoch 2 trips patience -> one reload; epoch 3 improves vs the reset best
+    # (1000); epochs 4-5 stall past patience again but the reload stays off
+    assert [e for e in events if e[0] == "reload"] == [("reload", None)]
+
+
 def test_patience_reload_gated_off(monkeypatch, tmp_path):
     # finetune_after == -1 maps to patience_reload=False (``train.py:449``)
     events, out = _run_loop(
@@ -87,3 +99,59 @@ def test_patience_reload_gated_off(monkeypatch, tmp_path):
     )
     assert ("reload", None) not in events
     assert getattr(out, "tag", None) == "init"
+
+
+def test_image_grid_writer(tmp_path):
+    """write_image_grid mirrors make_grid(normalize=True, scale_each=True):
+    per-image min-max scaling, nrow layout, padded separators."""
+    import numpy as np
+
+    from mumpy_tpu.train.trainer import MetricsWriter
+
+    logged = []
+
+    class FakeTB:
+        def add_image(self, tag, img, step):
+            logged.append((tag, img, step))
+
+        def add_scalar(self, *a):
+            pass
+
+        def close(self):
+            pass
+
+    w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+    w.tb = FakeTB()
+    imgs = np.stack([np.full((4, 4), 5.0), np.arange(16.0).reshape(4, 4)])
+    w.write_image_grid("prediction", imgs, step=7, nrow=2, padding=1)
+    w.close()
+
+    (tag, grid, step), = logged
+    assert tag == "prediction" and step == 7
+    assert grid.shape == (1, 4 + 2, 2 * (4 + 1) + 1)  # 1 row of 2, padding 1
+    # image 2 scale_each: 0..15 -> 0..1
+    np.testing.assert_allclose(grid[0, 1:5, 6:10].max(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(grid[0, 1:5, 6:10].min(), 0.0, atol=1e-6)
+
+
+def test_train_step_returns_preds():
+    """The jitted train step carries sigmoid predictions for the TB grids."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mumpy_tpu.configs.model_config import tiny_config
+    from mumpy_tpu.train.optim import OptimConfig
+    from mumpy_tpu.train.trainer import create_train_state, train_step
+
+    cfg = tiny_config()
+    state = create_train_state(cfg, OptimConfig(), iter_max=10,
+                               rng=jax.random.PRNGKey(0))
+    batch = {
+        "image": jnp.zeros((2, 3, cfg.image_size, cfg.image_size, 3)),
+        "mask": jnp.zeros((2, cfg.image_size * cfg.image_size)),
+    }
+    _, m = train_step(state, batch, jax.random.PRNGKey(0))
+    preds = np.asarray(m["preds"])
+    assert preds.shape == (2, cfg.image_size, cfg.image_size)
+    assert ((preds >= 0) & (preds <= 1)).all()
