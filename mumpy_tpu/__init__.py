@@ -8,21 +8,31 @@ Public API:
     from mumpy_tpu.data.dataset import ClipDataset, DataLoader, get_dataset
     from mumpy_tpu.train.trainer import create_train_state, train_loop
     from mumpy_tpu.utils.metrics import evaluate_dirs
+
+Exports resolve lazily (PEP 562) so importing the package does not pull in
+jax/flax — data-loader worker processes import ``mumpy_tpu.data.dataset``
+without paying the JAX import or risking a device-client init in a subprocess.
 """
 
-from .configs.model_config import (GlobalEncoderConfig, MumpyConfig, ViewConfig,
-                                   multiswin_config, tiny_config)
-from .models.mumpy import Mumpy, create_mumpy
+import importlib
 
 __version__ = "0.1.0"
 
-__all__ = [
-    "Mumpy",
-    "create_mumpy",
-    "MumpyConfig",
-    "ViewConfig",
-    "GlobalEncoderConfig",
-    "multiswin_config",
-    "tiny_config",
-    "__version__",
-]
+_EXPORTS = {
+    "Mumpy": ".models.mumpy",
+    "create_mumpy": ".models.mumpy",
+    "MumpyConfig": ".configs.model_config",
+    "ViewConfig": ".configs.model_config",
+    "GlobalEncoderConfig": ".configs.model_config",
+    "multiswin_config": ".configs.model_config",
+    "tiny_config": ".configs.model_config",
+}
+
+__all__ = list(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    return getattr(importlib.import_module(mod, __name__), name)

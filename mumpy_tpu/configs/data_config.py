@@ -36,6 +36,15 @@ class DataConfig:
     single_augment: bool = True
     num_workers: int = 4
     seed: int = 282845927
+    # host-pipeline throughput knobs (scripts/host_pipeline_bench.py):
+    # LRU cache of decoded+resized uint8 frames — the sliding clip windows
+    # revisit each frame ~length_clip times per epoch, so caching cuts decodes
+    # ~3x.  0 disables.
+    cache_mb: int = 512
+    # decode JPEGs at PIL draft scale (DCT-domain downscale) before the final
+    # resize: ~1.8x faster, pixels differ slightly from full-decode+resize —
+    # OFF by default for reference parity; safe to enable for training.
+    fast_decode: bool = False
 
     @property
     def num_streams(self) -> int:

@@ -108,6 +108,36 @@ def multiswin_config(
     )
 
 
+def mid_config(image_size: int = 64) -> MumpyConfig:
+    """Flagship channel widths, depths and heads on a reduced spatial grid.
+
+    window_size=4 divides the 16/8/4/2 pyramid that image_size=64 produces
+    (224 is the only size the 7-window flagship grid divides).  This exercises
+    the real kernel-relevant dimensions — C=96..1024, mlp 4x, 18-deep scanned
+    stages, full 12-layer global ViT — at test-tractable spatial cost; used by
+    the multichip tests to drive shard_map x prepared-operands x pallas at
+    flagship widths.
+    """
+    res = tuple(
+        (image_size // 4 // (2**s), image_size // 4 // (2**s)) for s in range(4)
+    )
+    views = (
+        ViewConfig((96, 192, 384, 768), (4, 4, 3), (2, 2, 6, 2), (3, 6, 12, 24),
+                   768, 1, res, 1, window_size=4),
+        ViewConfig((96, 192, 384, 768), (4, 4, 2), (2, 2, 18, 2), (3, 6, 12, 24),
+                   1536, 1, res, 1, window_size=4),
+        ViewConfig((128, 256, 512, 1024), (4, 4, 1), (2, 2, 18, 2), (4, 8, 16, 32),
+                   3072, 3, res, 3, window_size=4),
+    )
+    return MumpyConfig(
+        views=views,
+        global_encoder=GlobalEncoderConfig(),
+        input_token_temporal_dims=(1, 1, 3),
+        image_size=image_size,
+        drop_path_rate=0.0,
+    )
+
+
 def tiny_config(image_size: int = 32) -> MumpyConfig:
     """A miniature config with the same topology, for fast tests.
 

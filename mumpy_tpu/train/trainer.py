@@ -76,8 +76,17 @@ def _loss_for_batch(apply_fn, params, batch, rng, deterministic, compute_dtype=N
     """Loss on one batch.  ``compute_dtype=bfloat16`` casts params + inputs for the
     forward (f32 master params stay in the optimizer; the cast is differentiable so
     gradients come back f32; losses are computed on f32 logits; flax norms keep
-    f32 statistics internally)."""
+    f32 statistics internally).
+
+    uint8 images (DataLoader ``normalize_on_host=False``) are normalized HERE,
+    on device, inside the jitted step — same math as the host path, 4x fewer
+    bytes over the host->device transfer."""
     image = batch["image"]
+    if image.dtype == jnp.uint8:
+        from ..configs.data_config import MEAN, STD
+
+        image = (image.astype(jnp.float32) / 255.0
+                 - jnp.asarray(MEAN, jnp.float32)) / jnp.asarray(STD, jnp.float32)
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, params

@@ -71,6 +71,10 @@ def make_serving_forward(model, variables, mesh=None, example_clip=None):
 
     smapped = jax.shard_map(
         per_shard, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+        # pallas_call does not annotate varying-mesh-axes metadata on its
+        # outputs; without this the fused kernels fail inside shard_map
+        # ("vma on jax.ShapeDtypeStruct must not be None")
+        check_vma=False,
     )
     fwd = jax.jit(lambda clip: smapped(variables, clip))
     return fwd, (lambda clip: jax.device_put(clip, bsh))

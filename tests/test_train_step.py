@@ -105,3 +105,24 @@ def test_accumulation_steps(setup):
     state, _ = train_step(state, batch, jax.random.PRNGKey(0))
     p2 = jax.tree_util.tree_leaves(state.params)[0]
     assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+
+
+def test_uint8_batch_matches_f32(setup):
+    """uint8 images normalized on-device give the same loss as the host-
+    normalized f32 path (DataLoader normalize_on_host=False contract)."""
+    cfg, opt, _ = setup
+    from mumpy_tpu.configs.data_config import MEAN, STD
+    from mumpy_tpu.train.trainer import val_step
+
+    state = create_train_state(cfg, opt, iter_max=100, rng=jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 3, cfg.image_size, cfg.image_size, 3),
+                      dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - np.asarray(MEAN, np.float32)) / \
+        np.asarray(STD, np.float32)
+    mask = (rng.uniform(size=(2, cfg.image_size**2)) > 0.8).astype(np.float32)
+
+    m_u8 = val_step(state, {"image": jnp.asarray(u8), "mask": jnp.asarray(mask)})
+    m_f32 = val_step(state, {"image": jnp.asarray(f32), "mask": jnp.asarray(mask)})
+    np.testing.assert_allclose(
+        float(m_u8["total"]), float(m_f32["total"]), rtol=1e-6)

@@ -25,14 +25,19 @@ def main():
     loaders_ds = {
         split: ClipDataset(data_cfg, split) for split in ("train", "val")
     }
-    loaders = {
-        "train": lambda: iter(DataLoader(
+    # persistent loaders (worker pools + frame caches live across epochs);
+    # uint8 batches are normalized on-device inside the jitted step
+    loader_objs = {
+        "train": DataLoader(
             loaders_ds["train"], data_cfg.batch_size, shuffle=True,
-            drop_last=True, seed=data_cfg.seed, num_workers=data_cfg.num_workers)),
-        "val": lambda: iter(DataLoader(
+            drop_last=True, seed=data_cfg.seed, num_workers=data_cfg.num_workers,
+            normalize_on_host=False),
+        "val": DataLoader(
             loaders_ds["val"], data_cfg.batch_size, shuffle=True,
-            drop_last=True, seed=data_cfg.seed + 1, num_workers=data_cfg.num_workers)),
+            drop_last=True, seed=data_cfg.seed + 1,
+            num_workers=data_cfg.num_workers, normalize_on_host=False),
     }
+    loaders = {split: (lambda s=split: iter(loader_objs[s])) for split in loader_objs}
     steps_per_epoch = max(1, len(loaders_ds["train"]) // data_cfg.batch_size)
     iter_max = int(steps_per_epoch * loop_cfg.max_epoch / opt_cfg.accumulation_steps)
 
