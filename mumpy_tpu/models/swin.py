@@ -28,6 +28,7 @@ from ..ops.window import (partition_tokens, shifted_window_mask,
                           window_partition, window_reverse)
 from ..ops.pallas import window_attention as pallas_wa
 from ..ops.pallas import swin_block as pallas_sb
+from ..ops.pallas import swin_block_vjp as pallas_sbv
 from ..ops.pallas import ln_mlp as pallas_lm
 from ..ops.pallas import attn_ln as pallas_al
 
@@ -296,6 +297,24 @@ class SwinBlock(nn.Module):
         )
         if use_fused:
             return self._fused_call(x, window, shift, pre_windowed)
+        # fused TRAINING path: whole-block kernel with a custom VJP (backward
+        # recomputes in-kernel; weight grads are XLA GEMMs on spilled operands).
+        # drop_path becomes per-row keep factors; dropout rates must be 0
+        # (checked by train_supported) — the flagship recipe's are.
+        use_fused_train = (
+            not deterministic
+            and not pre_windowed
+            and not self.is_initializing()
+            and pallas_sbv.train_mode() != "off"
+            and self.has_variable("params", "norm1")
+            and pallas_sbv.train_supported(
+                self.dim, int(self.dim * self.mlp_ratio), window * window,
+                self.variables["params"]["mlp"]["fc1"]["kernel"].dtype.itemsize,
+                self.drop, self.attn_drop,
+            )
+        )
+        if use_fused_train:
+            return self._fused_train_call(x, window, shift, dp)
         if pre_windowed:
             # ValueError (not assert): a window-major carry silently flowing
             # through the image-layout path would produce wrong outputs, and
@@ -400,6 +419,58 @@ class SwinBlock(nn.Module):
                 wins = jnp.take(wins.reshape(b, gh * gw, c), iperm, axis=1)
                 wins = wins.reshape(b * nw, n, c)
             return wins
+        return unpartition_tokens(wins, gh, gw, window, shift)
+
+    def _fused_train_call(self, x, window: int, shift: int, dp):
+        """Training dispatch to the custom-VJP whole-block kernel.
+
+        Builds the additive term (shift mask + rel-pos bias) and per-row
+        stochastic-depth keep factors, then runs the differentiable kernel on
+        window-partitioned tokens.  ``dp`` may be a traced per-depth rate (the
+        scanned stacks pass it as a scan input)."""
+        gh = self.temporal_dim * self.input_resolution[0]
+        gw = self.input_resolution[1]
+        b, l, c = x.shape
+        n = window * window
+        nw = (gh // window) * (gw // window)
+
+        v = self.variables["params"]
+        weights = {
+            "ln1s": v["norm1"]["scale"][None], "ln1b": v["norm1"]["bias"][None],
+            "wqkv": v["attn"]["qkv"]["kernel"],
+            "bqkv": v["attn"]["qkv"]["bias"][None],
+            "wproj": v["attn"]["proj"]["kernel"],
+            "bproj": v["attn"]["proj"]["bias"][None],
+            "ln2s": v["norm2"]["scale"][None], "ln2b": v["norm2"]["bias"][None],
+            "wfc1": v["mlp"]["fc1"]["kernel"], "bfc1": v["mlp"]["fc1"]["bias"][None],
+            "wfc2": v["mlp"]["fc2"]["kernel"], "bfc2": v["mlp"]["fc2"]["bias"][None],
+        }
+        table = v["attn"]["relative_position_bias_table"]
+        idx = jnp.asarray(relative_position_index(window, window))
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        if shift > 0:
+            mask = shifted_window_mask(gh, gw, window, shift)
+            mb = mask[:, None].astype(bias.dtype) + bias[None]  # (nW, H, n, n)
+            p_w = nw
+        else:
+            mb = bias[None]
+            p_w = 1
+
+        # per-row stochastic-depth keep factors (timm DropPath semantics,
+        # one draw per SAMPLE per residual; rows are batch-major windows)
+        def keep_rows(rng):
+            keep = 1.0 - jnp.asarray(dp, jnp.float32)
+            mask_b = jax.random.bernoulli(rng, keep, (b, 1)).astype(jnp.float32)
+            return jnp.repeat(mask_b / keep, nw, axis=0)
+
+        k1 = keep_rows(self.make_rng("dropout"))
+        k2 = keep_rows(self.make_rng("dropout"))
+
+        wins = partition_tokens(x, gh, gw, window, shift)
+        wins = pallas_sbv.fused_block_train(
+            wins, mb, weights, k1, k2, self.num_heads, n, p_w,
+            pallas_sbv.train_mode() == "interpret",
+        )
         return unpartition_tokens(wins, gh, gw, window, shift)
 
 

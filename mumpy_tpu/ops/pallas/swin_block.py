@@ -205,7 +205,8 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
     bpw_act = npad * c * itemsize
     mask_bpw = heads * npad * npad * itemsize if p_w > 1 else 0
     weight_bytes = itemsize * 4 * c * c + extra_weight_bytes  # qkv+proj (+ MLP)
-    best = None
+    budget = 15_000_000 - weight_bytes
+    best = fallback = None
     for t in range(1, r + 1):
         if r % t or not (t % p_w == 0 or p_w % t == 0):
             continue
@@ -213,6 +214,17 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
         # full array dim (needed by kernels with (…, tile, lane) operands)
         if t % multiple_of and t != r:
             continue
+        if fallback is None:
+            # smallest valid tile: accepted as fallback only if a LOOSE bound
+            # (double-buffered activations + scratch, no safety factor) fits —
+            # the strict estimate below is deliberately conservative and known
+            # to reject small tiles that compile fine, while a multiple_of
+            # constraint forcing tile == r on a big r must error clearly at
+            # trace time instead of failing later inside Mosaic.
+            loose = (2 * (n_act_bufs * t * bpw_act + t * mask_bpw)
+                     + t * scratch_bytes_per_window)
+            if weight_bytes < 15_000_000 and loose <= budget:
+                fallback = t
         per_buf = t * bpw_act
         # resident weights are a FIXED cost (fetched once, constant block
         # index); only the per-tile terms scale with t.  Mosaic's stack
@@ -224,16 +236,10 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
             + t * scratch_bytes_per_window
             + 3 * t * npad * c * 4  # f32 temporaries (LN out / scores / gelu)
         )
-        budget = 15_000_000 - weight_bytes
         if per_buf <= per_buf_cap and 1.5 * variable <= budget:
             best = t
+    best = best if best is not None else fallback
     if best is None:
-        # Every tile satisfying the divisibility/multiple_of constraints blows
-        # the VMEM budget (e.g. multiple_of forces tile == r on a huge r).
-        # Raising here surfaces the problem at trace time with a clear message
-        # instead of an opaque Mosaic allocation failure at compile time;
-        # callers gate dispatch on ``supported()`` so this indicates a gap in
-        # that gate, and the fix is to widen it or use the XLA path.
         raise ValueError(
             f"no VMEM-feasible kernel tile: r={r}, p_w={p_w}, npad={npad}, "
             f"c={c}, multiple_of={multiple_of}, weight_bytes={weight_bytes} "

@@ -43,13 +43,18 @@ def main():
     }
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
+    import mumpy_tpu.ops.pallas.swin_block_vjp as vjp_mod
+
     progs = {}
     for variant in args.variants.split(","):
+        # "<remat>[+kernel]": +kernel enables the custom-VJP fused train block
+        base, _, suffix = variant.partition("+")
         cfg = multiswin_config()
-        if variant == "none":
+        if base == "none":
             cfg = dataclasses.replace(cfg, remat=False)
         else:
-            cfg = dataclasses.replace(cfg, remat_policy=variant)
+            cfg = dataclasses.replace(cfg, remat_policy=base)
+        vjp_mod.set_train_mode("compiled" if suffix == "kernel" else "off")
         state = create_train_state(
             cfg, OptimConfig(), iter_max=1000, rng=jax.random.PRNGKey(0)
         )
@@ -60,8 +65,10 @@ def main():
             state, m = jtrain(state, batch, jax.random.PRNGKey(1))
             float(m["total"])
         except Exception as e:
-            print(f"[FAIL] {variant}: {str(e)[:200]}", flush=True)
+            print(f"[FAIL] {variant}: {str(e)[:300]}", flush=True)
             continue
+        finally:
+            vjp_mod.set_train_mode(None)
         print(f"[compile] {variant}: {time.time()-t0:.0f}s", flush=True)
         progs[variant] = [jtrain, state]
 
