@@ -25,6 +25,7 @@ import numpy as np
 from ..configs.model_config import MumpyConfig, ViewConfig
 from ..ops.dct import faf
 from ..ops.pallas import swin_block as pallas_sb
+from ..ops.pallas import swin_block_vjp as pallas_sbv
 from ..ops.window import partition_tokens, unpartition_tokens, window_partition
 from .deformable import CVAModule
 from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
@@ -327,7 +328,35 @@ class ThreeViewStages(nn.Module):
                             f"remat_policy must be 'full' or 'dots', got "
                             f"{cfg.remat_policy!r}"
                         )
-                    use_remat = cfg.remat and not deterministic
+                    # when the custom-VJP train kernel handles this stack, its
+                    # backward recomputes the block from the saved input, so
+                    # scan-body remat is redundant for memory and only adds
+                    # recompute of the layout ops around the kernel.
+                    # Interleaved A/B at the DVI recipe (scripts/train_bench
+                    # .py, PERF.md): remat-off + kernel 215.8 ms/step vs
+                    # full-remat 221.6 — and remat-off without the kernel
+                    # OOMs, i.e. the kernel pays for its own memory.  The
+                    # eligibility lookup mirrors SwinBlock's use_fused_train
+                    # gate (same fc1-dtype source); ineligible stacks (c too
+                    # wide, dropout on, MUMPY_FUSED_TRAIN=off) keep remat.
+                    kernel_owns_memory = False
+                    if (not deterministic and not self.is_initializing()
+                            and pallas_sbv.train_mode() != "off"):
+                        p = self.variables.get("params", {})
+                        name = (f"stage{s}_pairs_view{v + 1}" if n_plain > 1
+                                else f"stage{s}_last_view{v + 1}")
+                        sub = p.get(name, {})
+                        if n_plain > 1:
+                            sub = sub.get("shifted", {})
+                        fc1 = sub.get("mlp", {}).get("fc1", {}).get("kernel")
+                        kernel_owns_memory = (
+                            fc1 is not None and pallas_sbv.train_supported(
+                                vcfgs[v].hidden_size[s], fc1.shape[-1],
+                                wclamp * wclamp, fc1.dtype.itemsize,
+                                cfg.drop_rate, cfg.attn_drop_rate,
+                            ))
+                    use_remat = (cfg.remat and not deterministic
+                                 and not kernel_owns_memory)
                     if use_remat and cfg.remat_policy == "dots":
                         body = nn.remat(
                             PlainBlockPair,

@@ -111,7 +111,12 @@ def _train_fwd_kernel(
     out_ref, qkv_scr, o_scr,
     *, heads, n_valid, scale,
 ):
-    """Forward with stochastic-depth keep factors (k1/k2: (tile, 1) f32)."""
+    """Forward with stochastic-depth keep factors (k1/k2: (tile, 1, 1) f32).
+
+    The keep operands are fed as (R, 1, 1) with block (tile, 1, 1): Mosaic
+    requires the last two block dims be (8, 128)-divisible OR equal to the
+    array dims, and a 2D (tile, 1) block violates that whenever tile % 8 != 0
+    (e.g. the r=48/tile=12 stage-3 shape)."""
     tile, npad, c = x_ref.shape
     hd = c // heads
     x = x_ref[:]
@@ -146,8 +151,8 @@ def _train_fwd_kernel(
         o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
-    k1 = k1_ref[:].astype(jnp.float32)  # (tile, 1)
-    x2 = x.astype(jnp.float32) + k1[:, :, None] * proj.reshape(tile, npad, c)
+    k1 = k1_ref[:].astype(jnp.float32)  # (tile, 1, 1)
+    x2 = x.astype(jnp.float32) + k1 * proj.reshape(tile, npad, c)
     x2 = x2.astype(dtype)
 
     k2 = k2_ref[:].astype(jnp.float32)
@@ -168,7 +173,7 @@ def _train_fwd_kernel(
             preferred_element_type=jnp.float32,
         ) + bfc2_ref[:].astype(jnp.float32)
         out_ref[j:j + cc] = xs + (
-            k2[j:j + cc][:, :, None] * f2.reshape(cc, npad, c)
+            k2[j:j + cc] * f2.reshape(cc, npad, c)
         ).astype(dtype)
 
 
@@ -228,8 +233,8 @@ def _train_bwd_kernel(
         o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
-    k1 = k1_ref[:].astype(jnp.float32)
-    x2_32 = x.astype(jnp.float32) + k1[:, :, None] * proj.reshape(tile, npad, c)
+    k1 = k1_ref[:].astype(jnp.float32)  # (tile, 1, 1)
+    x2_32 = x.astype(jnp.float32) + k1 * proj.reshape(tile, npad, c)
     x2 = x2_32.astype(dtype)
 
     # ---- MLP branch: recompute + backward, chunked over windows ----
@@ -250,7 +255,7 @@ def _train_bwd_kernel(
             preferred_element_type=jnp.float32,
         ) + bfc1_ref[:].astype(jnp.float32)
         _, dgelu = _gelu_and_grad(f1)
-        df2 = (k2[j:j + cc][:, :, None] * dy[j:j + cc].astype(jnp.float32)
+        df2 = (k2[j:j + cc] * dy[j:j + cc].astype(jnp.float32)
                ).reshape(cc * npad, c).astype(dtype)
         dg = jax.lax.dot_general(
             df2, wfc2_ref[:], (((1,), (1,)), ((), ())),
@@ -266,7 +271,7 @@ def _train_bwd_kernel(
         ln2_terms[0] if len(ln2_terms) == 1
         else jnp.concatenate(ln2_terms, axis=0))
 
-    dproj = k1[:, :, None] * dx2
+    dproj = k1 * dx2
     dproj_ref[:] = dproj.astype(dtype)
     do_scr[:] = dproj.astype(dtype).reshape(tile * npad, c)
 
@@ -382,7 +387,9 @@ def _fwd(x, mb, weights, keep1, keep2, heads, n, p_w, interpret):
     wl = [weights[k] for k in _W_NAMES]
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    k1p = keep1.reshape(r, 1, 1)
+    k2p = keep2.reshape(r, 1, 1)
+    row = pl.BlockSpec((tile, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     flops = r * (8 * n * c * c + 4 * n * n * c + 4 * n * c * m)
     cost = pl.CostEstimate(
@@ -408,7 +415,7 @@ def _fwd(x, mb, weights, keep1, keep2, heads, n, p_w, interpret):
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(xp, mbt, keep1, keep2, *wl)
+    )(xp, mbt, k1p, k2p, *wl)
     return y[:, :n, :], (x, mb, weights, keep1, keep2)
 
 
@@ -427,7 +434,9 @@ def _bwd(heads, n, p_w, interpret, res, dy):
     wl = [weights[k] for k in _W_NAMES]
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    k1p = keep1.reshape(r, 1, 1)
+    k2p = keep2.reshape(r, 1, 1)
+    row = pl.BlockSpec((tile, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     act = lambda lastdim: pl.BlockSpec(
         (tile, npad, lastdim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
@@ -467,7 +476,7 @@ def _bwd(heads, n, p_w, interpret, res, dy):
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(xp, dyp, mbt, keep1, keep2, *wl)
+    )(xp, dyp, mbt, k1p, k2p, *wl)
     dx, h1, dqkv, o, h2, dproj, dmb_tiles = outs
 
     f32 = jnp.float32

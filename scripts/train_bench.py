@@ -66,6 +66,11 @@ def main():
             float(m["total"])
         except Exception as e:
             print(f"[FAIL] {variant}: {str(e)[:300]}", flush=True)
+            # free this variant's device buffers (an OOM'd variant otherwise
+            # poisons every later create_train_state in the process)
+            jax.tree_util.tree_map(
+                lambda a: a.delete() if hasattr(a, "delete") else None, state)
+            del state
             continue
         finally:
             vjp_mod.set_train_mode(None)
