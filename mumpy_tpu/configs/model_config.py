@@ -59,6 +59,12 @@ class MumpyConfig:
     # outputs and recompute only elementwise ops (jax dots_with_no_batch_dims
     # policy) — more HBM, less recompute
     remat_policy: str = "full"
+    # unroll the deep-stage and global-ViT scans on the TRAINING path too
+    # (inference always unrolls).  The rolled scan's while-loop machinery
+    # (carry copies, saved-residual dynamic-update-slice stacking) showed up
+    # as tens of ms/step in the DVI train trace; unrolling trades compile
+    # time for removing it.  Measured A/B lives in PERF.md.
+    train_scan_unroll: bool = False
     # decoder
     decoder_num_classes: int = 32
     decoder_dap_k: int = 2

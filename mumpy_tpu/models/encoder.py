@@ -372,7 +372,8 @@ class ThreeViewStages(nn.Module):
                     # stacked arrays), removing ~the per-block launch overhead
                     # that dominated the fused path.  Training keeps the rolled
                     # scan (one compiled body + remat).
-                    unroll = n_pairs if deterministic else 1
+                    unroll = (n_pairs if deterministic or cfg.train_scan_unroll
+                              else 1)
                     ScannedPairs = nn.scan(
                         body,
                         variable_axes={"params": 0, "prepared": 0},
@@ -492,7 +493,8 @@ class MumpyEncoder(nn.Module):
             length=cfg.global_encoder.num_layers,
             # unrolled at inference for the same reason as the block pairs:
             # static slices of stacked layer params are free
-            unroll=cfg.global_encoder.num_layers if deterministic else 1,
+            unroll=(cfg.global_encoder.num_layers
+                    if deterministic or cfg.train_scan_unroll else 1),
         )
         g, _ = ScannedVit(
             dim=c, num_heads=cfg.global_encoder.num_heads,

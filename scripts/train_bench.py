@@ -47,14 +47,17 @@ def main():
 
     progs = {}
     for variant in args.variants.split(","):
-        # "<remat>[+kernel]": +kernel enables the custom-VJP fused train block
-        base, _, suffix = variant.partition("+")
+        # "<remat>[+kernel][+unroll]": +kernel enables the custom-VJP fused
+        # train block, +unroll unrolls the training-path scans
+        base, *suffixes = variant.split("+")
         cfg = multiswin_config()
         if base == "none":
             cfg = dataclasses.replace(cfg, remat=False)
         else:
             cfg = dataclasses.replace(cfg, remat_policy=base)
-        vjp_mod.set_train_mode("compiled" if suffix == "kernel" else "off")
+        if "unroll" in suffixes:
+            cfg = dataclasses.replace(cfg, train_scan_unroll=True)
+        vjp_mod.set_train_mode("compiled" if "kernel" in suffixes else "off")
         state = create_train_state(
             cfg, OptimConfig(), iter_max=1000, rng=jax.random.PRNGKey(0)
         )

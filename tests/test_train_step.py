@@ -107,6 +107,36 @@ def test_accumulation_steps(setup):
     assert not np.array_equal(np.asarray(p0), np.asarray(p2))
 
 
+def test_train_scan_unroll_parity(setup):
+    """cfg.train_scan_unroll only changes scheduling (lax.scan unroll), not
+    math or rng consumption: losses over two steps match the rolled scan."""
+    import dataclasses
+
+    cfg, opt, _ = setup
+    from mumpy_tpu.train.trainer import train_step
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "image": rng.standard_normal(
+            (2, 3, cfg.image_size, cfg.image_size, 3)).astype(np.float32),
+        "mask": (rng.uniform(size=(2, cfg.image_size**2)) > 0.8).astype(
+            np.float32),
+    }
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    losses = {}
+    for unroll in (False, True):
+        c = dataclasses.replace(cfg, train_scan_unroll=unroll,
+                                drop_path_rate=0.1)
+        state = create_train_state(c, opt, iter_max=100,
+                                   rng=jax.random.PRNGKey(5))
+        ls = []
+        for i in range(2):
+            state, m = train_step(state, batch, jax.random.PRNGKey(i))
+            ls.append(float(m["total"]))
+        losses[unroll] = ls
+    np.testing.assert_allclose(losses[False], losses[True], rtol=2e-6)
+
+
 def test_uint8_batch_matches_f32(setup):
     """uint8 images normalized on-device give the same loss as the host-
     normalized f32 path (DataLoader normalize_on_host=False contract)."""
