@@ -65,16 +65,18 @@ def _attn_kernel(
         lnb_ref[:].astype(jnp.float32),
     ).astype(dtype)
     h2d = h1.reshape(tile * npad, c)
+    # 3D scratches: per-head q/k/v is a pure lane-sliced REF load (see
+    # swin_block._block_kernel — measured ~9% kernel win vs the 2D layout)
     qkv_scr[:] = (jax.lax.dot_general(
         h2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
     for h in range(heads):
-        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
-        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
-        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
+        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -83,12 +85,12 @@ def _attn_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o_scr[:, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+        o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(tile * npad, hd)
+        ).astype(dtype)
     y = (jax.lax.dot_general(
-        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)).astype(dtype)
     y = y.reshape(tile, npad, c)
@@ -184,8 +186,8 @@ def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         ] + [full(a) for a in wl],
         out_specs=(tile_spec, tile_spec),
         scratch_shapes=[
-            pltpu.VMEM((tile * npad, 3 * c), x.dtype),
-            pltpu.VMEM((tile * npad, c), x.dtype),
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),
+            pltpu.VMEM((tile, npad, c), x.dtype),
         ],
         cost_estimate=cost,
         interpret=interpret,

@@ -90,11 +90,13 @@ def _cva_kernel(
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
 
-    # full-width q projection; per-head access is by lane-sliced scratch reads
+    # full-width q projection; 3D scratches make every per-head/per-group
+    # access a pure lane-sliced REF load/store (see swin_block._block_kernel —
+    # measured ~9% kernel win vs the 2D layout)
     q_scr[:] = (jax.lax.dot_general(
         x1_2d, wq_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bq_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bq_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, c)
 
     # ---- per-group bilinear sampling of the partner at the given coords ----
     for g in range(groups):
@@ -107,26 +109,27 @@ def _cva_kernel(
             wx.astype(dtype), ex_ref[:].astype(dtype),
             (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )  # (tile, npad_q, npad_src)
-        s_scr[:, g * gc:(g + 1) * gc] = jax.lax.dot_general(
+        s_scr[:, :, g * gc:(g + 1) * gc] = jax.lax.dot_general(
             wmat.astype(dtype), x2g_ref[g], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(tile * npad, gc)
+        ).astype(dtype)
 
     # full-width k/v projections of the sampled partner
+    s_2d = s_scr[:].reshape(tile * npad, c)
     k_scr[:] = (jax.lax.dot_general(
-        s_scr[:], wk_ref[:], (((1,), (0,)), ((), ())),
+        s_2d, wk_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bk_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bk_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, c)
     v_scr[:] = (jax.lax.dot_general(
-        s_scr[:], wv_ref[:], (((1,), (0,)), ((), ())),
+        s_2d, wv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bv_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, c)
 
     # ---- per-head attention, then one full-width output projection ----
     for hh in range(heads):
-        q3 = q_scr[:, hh * hd:(hh + 1) * hd].reshape(tile, npad, hd)
-        k3 = k_scr[:, hh * hd:(hh + 1) * hd].reshape(tile, npad, hd)
-        v3 = v_scr[:, hh * hd:(hh + 1) * hd].reshape(tile, npad, hd)
+        q3 = q_scr[:, :, hh * hd:(hh + 1) * hd]
+        k3 = k_scr[:, :, hh * hd:(hh + 1) * hd]
+        v3 = v_scr[:, :, hh * hd:(hh + 1) * hd]
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -135,12 +138,12 @@ def _cva_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o_scr[:, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
+        o_scr[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(tile * npad, hd)
+        ).astype(dtype)
     proj = jax.lax.dot_general(
-        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # proj_out BIAS is applied by the caller AFTER the ratio fold — the
@@ -219,7 +222,7 @@ def fused_cva_prepared(x1, x2g, gy, gx, prepared, *, groups: int, heads: int,
             coord_spec, coord_spec,
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tile * npad, c), x1.dtype) for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((tile, npad, c), x1.dtype) for _ in range(5)],
         cost_estimate=cost,
         interpret=interpret,
     )(x1p, x2p, gyp, gxp, *wl)

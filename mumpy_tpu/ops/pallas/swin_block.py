@@ -114,9 +114,12 @@ def _block_kernel(
 
     # ---- attention branch ----
     # qkv and the output projection run FULL-WIDTH (the flop-dominant matmuls;
-    # per-head hd=32 variants used only a quarter of the MXU lanes).  Per-head
-    # attention reads lane slices from the qkv VMEM scratch — Mosaic supports
-    # lane-sliced REF loads even though value-level lane splits are not allowed.
+    # per-head hd=32 variants used only a quarter of the MXU lanes).  The
+    # scratches are kept 3D (tile, npad, ·) so each per-head q/k/v access is a
+    # pure lane-sliced REF load — the earlier 2D (tile*npad, ·) layout needed a
+    # sublane-splitting value reshape per head per q/k/v (3*heads per grid
+    # step), worth ~9% of the kernel at the stage-2 view3 shape
+    # (scripts/kernel_probe.py: 873.8 -> 791.3 us/call).
     h1 = _ln(
         x.astype(jnp.float32), ln1s_ref[:].astype(jnp.float32),
         ln1b_ref[:].astype(jnp.float32),
@@ -125,13 +128,13 @@ def _block_kernel(
     qkv_scr[:] = (jax.lax.dot_general(
         h2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
     for h in range(heads):
-        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
-        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
-        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
+        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -140,12 +143,12 @@ def _block_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o_scr[:, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+        o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(tile * npad, hd)
+        ).astype(dtype)
     proj = jax.lax.dot_general(
-        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
     x = x + proj.astype(dtype).reshape(tile, npad, c)
@@ -358,8 +361,8 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile * npad, 3 * c), x.dtype),  # qkv
-            pltpu.VMEM((tile * npad, c), x.dtype),      # per-head attn outputs
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # qkv
+            pltpu.VMEM((tile, npad, c), x.dtype),      # per-head attn outputs
         ],
         cost_estimate=cost,
         interpret=interpret,

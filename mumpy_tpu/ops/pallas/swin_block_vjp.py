@@ -125,16 +125,18 @@ def _train_fwd_kernel(
     xh1, _ = _ln_stats(x.astype(jnp.float32))
     h1 = (xh1 * ln1s_ref[:].astype(jnp.float32)
           + ln1b_ref[:].astype(jnp.float32)).astype(dtype)
+    # 3D scratches: per-head q/k/v is a pure lane-sliced REF load (see
+    # swin_block._block_kernel — measured ~9% kernel win vs the 2D layout)
     qkv_scr[:] = (jax.lax.dot_general(
         h1.reshape(tile * npad, c), wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
     for h in range(heads):
-        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
-        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
-        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
+        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -143,12 +145,12 @@ def _train_fwd_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o_scr[:, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+        o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(tile * npad, hd)
+        ).astype(dtype)
     proj = jax.lax.dot_general(
-        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
     k1 = k1_ref[:].astype(jnp.float32)  # (tile, 1, 1)
@@ -204,18 +206,20 @@ def _train_bwd_kernel(
     h1_32 = xh1 * s1 + ln1b_ref[:].astype(jnp.float32)
     h1 = h1_32.astype(dtype)
     h1_ref[:] = h1
+    # 3D scratches: per-head q/k/v/do reads and dq/dk/dv writes are pure
+    # lane-sliced REF accesses (see swin_block._block_kernel, ~9% kernel win)
     qkv_scr[:] = (jax.lax.dot_general(
         h1.reshape(tile * npad, c), wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
     # per-head probabilities are recomputed TWICE (here for o, below for the
     # score backward) so only one head's (tile,N,N) f32 p is ever live
     for h in range(heads):
-        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
-        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
-        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
+        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -224,13 +228,13 @@ def _train_bwd_kernel(
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        o_scr[:, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+        o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(tile * npad, hd)
-    o_ref[:] = o_scr[:].reshape(tile, npad, c)
+        ).astype(dtype)
+    o_ref[:] = o_scr[:]
     proj = jax.lax.dot_general(
-        o_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:].astype(jnp.float32)
     k1 = k1_ref[:].astype(jnp.float32)  # (tile, 1, 1)
@@ -272,18 +276,19 @@ def _train_bwd_kernel(
         else jnp.concatenate(ln2_terms, axis=0))
 
     dproj = k1 * dx2
-    dproj_ref[:] = dproj.astype(dtype)
-    do_scr[:] = dproj.astype(dtype).reshape(tile * npad, c)
+    dproj_d = dproj.astype(dtype)
+    dproj_ref[:] = dproj_d
 
     # ---- attention backward ----
-    do_full = jax.lax.dot_general(
-        do_scr[:], wproj_ref[:], (((1,), (1,)), ((), ())),
+    # do_scr holds do_full (grad at o) in 3D so per-head do_h is a lane slice
+    do_scr[:] = jax.lax.dot_general(
+        dproj_d.reshape(tile * npad, c), wproj_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)  # (tile*npad, C): grad at o
+    ).astype(dtype).reshape(tile, npad, c)
     for h in range(heads):
-        q3 = qkv_scr[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
-        k3 = qkv_scr[:, c + h * hd:c + (h + 1) * hd].reshape(tile, npad, hd)
-        v3 = qkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(tile, npad, hd)
+        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         scores = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -293,7 +298,7 @@ def _train_bwd_kernel(
         e = jnp.exp(scores - m)
         p32 = e / jnp.sum(e, axis=-1, keepdims=True)
         p = p32.astype(dtype)
-        do_h = do_full[:, h * hd:(h + 1) * hd].reshape(tile, npad, hd)
+        do_h = do_scr[:, :, h * hd:(h + 1) * hd]
         dp = jax.lax.dot_general(  # (tile, N, N)
             do_h, v3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -314,13 +319,14 @@ def _train_bwd_kernel(
             p, do_h, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        dqkv_scr[:, h * hd:(h + 1) * hd] = dq.astype(dtype).reshape(tile * npad, hd)
-        dqkv_scr[:, c + h * hd:c + (h + 1) * hd] = dk.astype(dtype).reshape(tile * npad, hd)
-        dqkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv.astype(dtype).reshape(tile * npad, hd)
-    dqkv_ref[:] = dqkv_scr[:].reshape(tile, npad, 3 * c)
+        dqkv_scr[:, :, h * hd:(h + 1) * hd] = dq.astype(dtype)
+        dqkv_scr[:, :, c + h * hd:c + (h + 1) * hd] = dk.astype(dtype)
+        dqkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv.astype(dtype)
+    dqkv_ref[:] = dqkv_scr[:]
 
     dh1 = jax.lax.dot_general(
-        dqkv_scr[:], wqkv_ref[:], (((1,), (1,)), ((), ())),
+        dqkv_scr[:].reshape(tile * npad, 3 * c), wqkv_ref[:],
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(tile, npad, c)
     dx_ref[:] = (dx2 + _ln_bwd(dh1, xh1, rstd1, s1)).astype(dtype)
@@ -410,8 +416,8 @@ def _fwd(x, mb, weights, keep1, keep2, heads, n, p_w, interpret):
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile * npad, 3 * c), x.dtype),
-            pltpu.VMEM((tile * npad, c), x.dtype),
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),
+            pltpu.VMEM((tile, npad, c), x.dtype),
         ],
         cost_estimate=cost,
         interpret=interpret,
@@ -469,10 +475,10 @@ def _bwd(heads, n, p_w, interpret, res, dy):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile * npad, 3 * c), x.dtype),  # qkv
-            pltpu.VMEM((tile * npad, c), x.dtype),      # o
-            pltpu.VMEM((tile * npad, 3 * c), x.dtype),  # dqkv
-            pltpu.VMEM((tile * npad, c), x.dtype),      # dproj rows
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # qkv
+            pltpu.VMEM((tile, npad, c), x.dtype),      # o
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # dqkv
+            pltpu.VMEM((tile, npad, c), x.dtype),      # do_full (grad at o)
         ],
         cost_estimate=cost,
         interpret=interpret,

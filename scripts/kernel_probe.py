@@ -189,7 +189,8 @@ def ablated_kernel(
         out_ref[:] = x
 
 
-def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, **abl):
+def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None,
+          **abl):
     rng = np.random.default_rng(0)
     m = c * mlp_ratio
     npad = -(-n // 8) * 8
@@ -205,6 +206,8 @@ def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, **abl):
         extra_weight_bytes=2 * c * m * isz,
         scratch_bytes_per_window=npad * 4 * c * isz,
     )
+    if tile_override:
+        tile = tile_override  # bypass the budget heuristic (may OOM in Mosaic)
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
     if abl.get("scr3d"):
@@ -275,6 +278,8 @@ def main():
     p.add_argument("--ablations", default=",".join(ABLATIONS))
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (interpret mode) for sanity")
+    p.add_argument("--tile", type=int, default=0,
+                   help="override the _choose_tile result (0 = auto)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -284,7 +289,9 @@ def main():
 
     progs = {}
     for name in args.ablations.split(","):
-        step, x, tile = build(r, n, c, heads, mlp_ratio, p_w, **ABLATIONS[name])
+        step, x, tile = build(r, n, c, heads, mlp_ratio, p_w,
+                              tile_override=args.tile or None,
+                              **ABLATIONS[name])
         t0 = time.time()
         _, carry = step(x, jnp.float32(0))
         float(carry)
