@@ -37,20 +37,21 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-from .swin_block import _choose_tile, _ln, attention_mode  # shared helpers
+from .swin_block import (_choose_tile, _hoisted_scores, _ln, attention_mode,
+                         kernel_compiler_params, vmem_limit_bytes)
 
 
 def supported(c: int, n: int, itemsize: int = 2) -> bool:
     """qkv+proj weights (4C^2) must fit the VMEM budget next to the row tiles."""
     if not _PALLAS_OK:
         return False
-    return itemsize * 4 * c * c < 9_000_000 and n <= 64
+    return itemsize * 4 * c * c < 0.45 * vmem_limit_bytes() and n <= 64
 
 
 def _attn_kernel(
     x_ref, mb_ref,
     lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    y_ref, out_ref, qkv_scr, o_scr,
+    y_ref, out_ref, qkv_scr, o_scr, s_scr,
     *, heads, n_valid, scale,
 ):
     tile, npad, c = x_ref.shape
@@ -72,19 +73,12 @@ def _attn_kernel(
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    # hoisted all-head softmax (see swin_block._hoisted_scores: -22% kernel)
+    _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
+                    scale=scale)
     for h in range(heads):
-        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
-        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
         v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q3, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + mb_ref[h].astype(jnp.float32)
-        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
         o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -109,7 +103,8 @@ def prepare_attn_weights(weights, mask_bias, *, heads: int, r: int):
     wdtype = weights["qkv_kernel"].dtype
     _, reps, _ = _choose_tile(
         r, p_w, npad, c, heads, wdtype.itemsize, n_act_bufs=3,
-        scratch_bytes_per_window=npad * 4 * c * wdtype.itemsize,
+        scratch_bytes_per_window=(npad * 4 * c * wdtype.itemsize
+                                  + heads * npad * npad * 4),
     )
 
     mb = mask_bias.astype(wdtype)
@@ -142,7 +137,8 @@ def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     npad = -(-n // 8) * 8
     tile, _, _ = _choose_tile(
         r, p_w, npad, c, heads, prepared["wqkv"].dtype.itemsize, n_act_bufs=3,
-        scratch_bytes_per_window=npad * 4 * c * prepared["wqkv"].dtype.itemsize,
+        scratch_bytes_per_window=(npad * 4 * c * prepared["wqkv"].dtype.itemsize
+                                  + heads * npad * npad * 4),
     )
     mbw = prepared["mb"].shape[1]
     if mbw == 1:
@@ -188,9 +184,11 @@ def fused_attn_ln_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         scratch_shapes=[
             pltpu.VMEM((tile, npad, 3 * c), x.dtype),
             pltpu.VMEM((tile, npad, c), x.dtype),
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),  # scores/probs
         ],
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(xp, prepared["mb"], *wl)
     return y[:, :n, :], out[:, :n, :]
 

@@ -41,14 +41,14 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-from .swin_block import _choose_tile, attention_mode  # shared helpers
+from .swin_block import _choose_tile, attention_mode, kernel_compiler_params, vmem_limit_bytes  # shared helpers
 
 
 def supported(c: int, n: int, itemsize: int = 2) -> bool:
     """q/k/v/proj weights (4C^2) must fit VMEM next to the row tiles."""
     if not _PALLAS_OK:
         return False
-    return itemsize * 4 * c * c < 9_000_000 and n <= 64
+    return itemsize * 4 * c * c < 0.45 * vmem_limit_bytes() and n <= 64
 
 
 @functools.lru_cache(maxsize=None)
@@ -78,7 +78,7 @@ def _cva_kernel(
     x1_ref, x2g_ref, gy_ref, gx_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wproj_ref,
     ey_ref, ex_ref,
-    out_ref, q_scr, s_scr, k_scr, v_scr, o_scr,
+    out_ref, q_scr, s_scr, k_scr, v_scr, o_scr, sc_scr,
     *, groups, heads, n_valid, ws, scale,
 ):
     tile, npad, c = x1_ref.shape
@@ -125,19 +125,24 @@ def _cva_kernel(
         preferred_element_type=jnp.float32,
     ) + bv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, c)
 
-    # ---- per-head attention, then one full-width output projection ----
+    # ---- per-head attention (hoisted all-head softmax — one masked softmax
+    # over the (heads*tile, npad, npad) scores scratch; per-head softmaxes are
+    # VPU-dispatch overhead, see swin_block._hoisted_scores: -22% kernel),
+    # then one full-width output projection ----
     for hh in range(heads):
         q3 = q_scr[:, :, hh * hd:(hh + 1) * hd]
         k3 = k_scr[:, :, hh * hd:(hh + 1) * hd]
-        v3 = v_scr[:, :, hh * hd:(hh + 1) * hd]
-        scores = jax.lax.dot_general(
+        sc_scr[hh * tile:(hh + 1) * tile] = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    sall = jnp.where(key_ids[None] < n_valid, sc_scr[:], -1e30)
+    m = jnp.max(sall, axis=-1, keepdims=True)
+    e = jnp.exp(sall - m)
+    sc_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
+    for hh in range(heads):
+        v3 = v_scr[:, :, hh * hd:(hh + 1) * hd]
+        p = sc_scr[hh * tile:(hh + 1) * tile].astype(dtype)
         o_scr[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -187,7 +192,8 @@ def fused_cva_prepared(x1, x2g, gy, gx, prepared, *, groups: int, heads: int,
     itemsize = prepared["wq"].dtype.itemsize
     tile, _, _ = _choose_tile(
         r, 1, npad, c, heads, itemsize, n_act_bufs=3,
-        scratch_bytes_per_window=npad * 5 * c * itemsize,
+        scratch_bytes_per_window=(npad * 5 * c * itemsize
+                                  + heads * npad * npad * 4),
         multiple_of=8,  # the (g, tile, npad) coord blocks put tile second-minor
     )
 
@@ -222,8 +228,10 @@ def fused_cva_prepared(x1, x2g, gy, gx, prepared, *, groups: int, heads: int,
             coord_spec, coord_spec,
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tile, npad, c), x1.dtype) for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((tile, npad, c), x1.dtype) for _ in range(5)]
+        + [pltpu.VMEM((heads * tile, npad, npad), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(x1p, x2p, gyp, gxp, *wl)
     return out[:, :n, :]

@@ -26,7 +26,7 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-from .swin_block import _erf, _ln, attention_mode  # shared helpers + switch
+from .swin_block import _erf, _ln, attention_mode, kernel_compiler_params, vmem_limit_bytes  # shared helpers + switch
 
 
 def supported(c: int, m: int, itemsize: int = 2) -> bool:
@@ -34,7 +34,7 @@ def supported(c: int, m: int, itemsize: int = 2) -> bool:
     if not _PALLAS_OK:
         return False
     weights = itemsize * 2 * c * m
-    return weights < 11_000_000
+    return weights < 0.45 * vmem_limit_bytes()
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
@@ -93,5 +93,6 @@ def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, interpret: bool = False):
         out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(x2, *args)
     return out[:rows].reshape(shape)

@@ -42,6 +42,23 @@ except Exception:  # pragma: no cover
 
 _FORCED_MODE = None  # test hook: None (auto) | "off" | "interpret" | "compiled"
 
+# Real VMEM capacity: scripts/vmem_probe.py measured 128MB usable on the v5e
+# chip — the ubiquitous "~16MB" figure is only Mosaic's DEFAULT scoped-vmem
+# limit, raisable per kernel via CompilerParams(vmem_limit_bytes).  We budget
+# kernels against 100MB (headroom for Mosaic's conservative stack liveness);
+# override with MUMPY_VMEM_LIMIT_MB for other TPU generations.
+def vmem_limit_bytes() -> int:
+    import os
+
+    return int(os.environ.get("MUMPY_VMEM_LIMIT_MB", "100")) << 20
+
+
+def kernel_compiler_params():
+    """CompilerParams raising the Mosaic scoped-VMEM cap to the real capacity."""
+    if not _PALLAS_OK:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes())
+
 
 def set_mode(mode):
     global _FORCED_MODE
@@ -71,14 +88,16 @@ def attention_mode() -> str:
 
 
 def supported(c: int, mlp_hidden: int, n: int, itemsize: int = 2) -> bool:
-    """Weight + activation footprint check against the ~16MB VMEM budget.
+    """Weight + activation footprint check against the real VMEM capacity
+    (128MB on v5e — see :func:`vmem_limit_bytes`; the C=768 global-ViT weight
+    set at 14.2MB bf16 is comfortably resident).
 
     ``itemsize`` is the parameter dtype size — f32 serving doubles the resident
     weight footprint, so the gate must use the real dtype, not assume bf16."""
     if not _PALLAS_OK:
         return False
     weights = itemsize * (4 * c * c + 2 * c * mlp_hidden)  # qkv+proj+mlp
-    return weights < 9_000_000 and n <= 64
+    return weights < 0.45 * vmem_limit_bytes() and n <= 64
 
 
 def _erf(x):
@@ -100,11 +119,41 @@ def _ln(x32, scale, bias, eps=1e-5):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _hoisted_scores(qkv_scr, mb_ref, s_scr, *, heads, n_valid, scale,
+                    q_off=0, k_off=None):
+    """All-head masked attention probabilities via ONE softmax.
+
+    Writes per-head ``q @ k^T * scale + mb`` into the (heads*tile, npad, npad)
+    f32 scratch ``s_scr``, then runs a single masked softmax over it in place.
+    Per-head softmaxes are pure VPU-dispatch overhead — hoisting them measured
+    -22% whole-kernel time at the stage-2 view3 shape (scripts/kernel_probe.py:
+    857 -> 673 us; "no_softmax" is 670).  Callers read head ``h``'s
+    probabilities as ``s_scr[h*tile:(h+1)*tile]``.
+    """
+    tile, npad, three_c = qkv_scr.shape
+    c = three_c // 3 if k_off is None else three_c  # packed qkv vs separate
+    if k_off is None:
+        k_off = c
+    hd = c // heads
+    for h in range(heads):
+        q3 = qkv_scr[:, :, q_off + h * hd:q_off + (h + 1) * hd]
+        k3 = qkv_scr[:, :, k_off + h * hd:k_off + (h + 1) * hd]
+        s_scr[h * tile:(h + 1) * tile] = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + mb_ref[h].astype(jnp.float32)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    sall = jnp.where(key_ids[None] < n_valid, s_scr[:], -1e30)
+    m = jnp.max(sall, axis=-1, keepdims=True)
+    e = jnp.exp(sall - m)
+    s_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _block_kernel(
     x_ref, mb_ref,
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    out_ref, qkv_scr, o_scr,
+    out_ref, qkv_scr, o_scr, s_scr,
     *, heads, n_valid, scale,
 ):
     tile, npad, c = x_ref.shape
@@ -130,19 +179,15 @@ def _block_kernel(
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    # HOISTED SOFTMAX: per-head scores land in one (heads*tile, npad, npad)
+    # f32 scratch and a SINGLE masked softmax runs over all heads — 16 small
+    # per-head softmaxes cost ~22% of the whole kernel in VPU dispatch at the
+    # stage-2 view3 shape (kernel_probe: full 857us, hoist 673, no_softmax 670)
+    _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
+                    scale=scale)
     for h in range(heads):
-        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
-        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
         v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q3, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + mb_ref[h].astype(jnp.float32)
-        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
         o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -208,7 +253,12 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
     bpw_act = npad * c * itemsize
     mask_bpw = heads * npad * npad * itemsize if p_w > 1 else 0
     weight_bytes = itemsize * 4 * c * c + extra_weight_bytes  # qkv+proj (+ MLP)
-    budget = 15_000_000 - weight_bytes
+    # Budget against the REAL VMEM capacity (128MB on v5e, raised per kernel
+    # via CompilerParams — see vmem_limit_bytes()).  Resident weights subtract
+    # from it; the per-buffer cap below still bounds the activation tiles (a
+    # real-chip tile sweep at stage2v3 showed tiles beyond it win nothing:
+    # t12/t48/t96 -> 803/796/908 us).
+    budget = int(0.9 * vmem_limit_bytes()) - weight_bytes
     best = fallback = None
     for t in range(1, r + 1):
         if r % t or not (t % p_w == 0 or p_w % t == 0):
@@ -226,7 +276,7 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
             # trace time instead of failing later inside Mosaic.
             loose = (2 * (n_act_bufs * t * bpw_act + t * mask_bpw)
                      + t * scratch_bytes_per_window)
-            if weight_bytes < 15_000_000 and loose <= budget:
+            if weight_bytes < 0.9 * vmem_limit_bytes() and loose <= budget:
                 fallback = t
         per_buf = t * bpw_act
         # resident weights are a FIXED cost (fetched once, constant block
@@ -269,7 +319,8 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
     _, reps, _ = _choose_tile(
         r, p_w, npad, c, heads, wdtype.itemsize,
         extra_weight_bytes=2 * c * m * wdtype.itemsize,
-        scratch_bytes_per_window=npad * 4 * c * wdtype.itemsize,
+        scratch_bytes_per_window=(npad * 4 * c * wdtype.itemsize
+                                  + heads * npad * npad * 4),
     )
 
     # store the additive term in the weight dtype: the XLA path adds the mask in
@@ -319,7 +370,8 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     tile, _, _ = _choose_tile(
         r, p_w, npad, c, heads, wdtype.itemsize,
         extra_weight_bytes=2 * c * prepared["wfc1"].shape[1] * wdtype.itemsize,
-        scratch_bytes_per_window=npad * 4 * c * wdtype.itemsize,
+        scratch_bytes_per_window=(npad * 4 * c * wdtype.itemsize
+                                  + heads * npad * npad * 4),
     )
     mbw = prepared["mb"].shape[1]
     if mbw == 1:
@@ -363,9 +415,11 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         scratch_shapes=[
             pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # qkv
             pltpu.VMEM((tile, npad, c), x.dtype),      # per-head attn outputs
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),  # scores/probs
         ],
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(xp, prepared["mb"], *wl)
     return out[:, :n, :]
 

@@ -41,7 +41,9 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-from .swin_block import _choose_tile, _erf, _ln, attention_mode
+from .swin_block import (_choose_tile, _erf, _hoisted_scores, _ln,
+                         attention_mode, kernel_compiler_params,
+                         vmem_limit_bytes)
 
 _SQRT1_2 = 0.7071067811865476
 _INV_SQRT2PI = 0.3989422804014327
@@ -79,7 +81,7 @@ def train_supported(c: int, mlp_hidden: int, n: int, itemsize: int,
     if not _PALLAS_OK or drop != 0.0 or attn_drop != 0.0:
         return False
     weights = itemsize * (4 * c * c + 2 * c * mlp_hidden)
-    return weights < 7_000_000 and n <= 64
+    return weights < 0.40 * vmem_limit_bytes() and n <= 64
 
 
 def _gelu_and_grad(f1):
@@ -108,7 +110,7 @@ def _train_fwd_kernel(
     x_ref, mb_ref, k1_ref, k2_ref,
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    out_ref, qkv_scr, o_scr,
+    out_ref, qkv_scr, o_scr, s_scr,
     *, heads, n_valid, scale,
 ):
     """Forward with stochastic-depth keep factors (k1/k2: (tile, 1, 1) f32).
@@ -132,19 +134,12 @@ def _train_fwd_kernel(
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    # hoisted all-head softmax (see swin_block._hoisted_scores: -22% kernel)
+    _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
+                    scale=scale)
     for h in range(heads):
-        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
-        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
         v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q3, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + mb_ref[h].astype(jnp.float32)
-        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
         o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -184,7 +179,7 @@ def _train_bwd_kernel(
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     dx_ref, h1_ref, dqkv_ref, o_ref, h2_ref, dproj_ref, dmb_ref,
-    qkv_scr, o_scr, dqkv_scr, do_scr,
+    qkv_scr, o_scr, dqkv_scr, do_scr, s_scr,
     *, heads, n_valid, scale,
 ):
     """Recompute the forward from x, produce dx, spill weight-grad operands.
@@ -213,21 +208,14 @@ def _train_bwd_kernel(
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
-    # per-head probabilities are recomputed TWICE (here for o, below for the
-    # score backward) so only one head's (tile,N,N) f32 p is ever live
+    # hoisted all-head softmax, computed ONCE and kept in s_scr for both the
+    # o recompute here and the score backward below (the old per-head loop
+    # recomputed scores+softmax twice per head)
+    _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
+                    scale=scale)
     for h in range(heads):
-        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
-        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
         v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q3, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + mb_ref[h].astype(jnp.float32)
-        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
         o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
             p, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -289,14 +277,7 @@ def _train_bwd_kernel(
         q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
         k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
         v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q3, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale + mb_ref[h].astype(jnp.float32)
-        scores = jnp.where(key_ids[None] < n_valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+        p32 = s_scr[h * tile:(h + 1) * tile]
         p = p32.astype(dtype)
         do_h = do_scr[:, :, h * hd:(h + 1) * hd]
         dp = jax.lax.dot_general(  # (tile, N, N)
@@ -342,7 +323,9 @@ def _tile_and_mb(r, p_w, npad, c, heads, itemsize, m, *, bwd=False):
         r, p_w, npad, c, heads, itemsize,
         n_act_bufs=8 if bwd else 2,
         extra_weight_bytes=2 * c * m * itemsize,
-        scratch_bytes_per_window=npad * (10 if bwd else 4) * c * itemsize * factor,
+        scratch_bytes_per_window=(
+            npad * (10 if bwd else 4) * c * itemsize * factor
+            + heads * npad * npad * 4),  # hoisted-softmax scores scratch
     )
     return tile, reps
 
@@ -418,9 +401,11 @@ def _fwd(x, mb, weights, keep1, keep2, heads, n, p_w, interpret):
         scratch_shapes=[
             pltpu.VMEM((tile, npad, 3 * c), x.dtype),
             pltpu.VMEM((tile, npad, c), x.dtype),
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),  # scores/probs
         ],
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(xp, mbt, k1p, k2p, *wl)
     return y[:, :n, :], (x, mb, weights, keep1, keep2)
 
@@ -479,9 +464,11 @@ def _bwd(heads, n, p_w, interpret, res, dy):
             pltpu.VMEM((tile, npad, c), x.dtype),      # o
             pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # dqkv
             pltpu.VMEM((tile, npad, c), x.dtype),      # do_full (grad at o)
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),  # probs
         ],
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(xp, dyp, mbt, k1p, k2p, *wl)
     dx, h1, dqkv, o, h2, dproj, dmb_tiles = outs
 

@@ -190,7 +190,7 @@ def ablated_kernel(
 
 
 def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None,
-          **abl):
+          vmem_mb=0, **abl):
     rng = np.random.default_rng(0)
     m = c * mlp_ratio
     npad = -(-n // 8) * 8
@@ -246,6 +246,9 @@ def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+            if vmem_mb else None),
     )
 
     @jax.jit
@@ -280,6 +283,11 @@ def main():
                    help="force the CPU backend (interpret mode) for sanity")
     p.add_argument("--tile", type=int, default=0,
                    help="override the _choose_tile result (0 = auto)")
+    p.add_argument("--tiles", default="",
+                   help="interleaved tile sweep: build ONE ablation (the first "
+                        "in --ablations) at each of these tiles")
+    p.add_argument("--vmem_mb", type=int, default=0,
+                   help="raise the Mosaic scoped-VMEM limit (0 = default 16MB)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -288,10 +296,17 @@ def main():
     flops = r * (8 * n * c * c + 4 * n * n * c + 4 * n * c * m)
 
     progs = {}
-    for name in args.ablations.split(","):
+    if args.tiles:
+        abl_name = args.ablations.split(",")[0]
+        variants = [(f"{abl_name}@t{t}", int(t), ABLATIONS[abl_name])
+                    for t in args.tiles.split(",")]
+    else:
+        variants = [(name, args.tile, ABLATIONS[name])
+                    for name in args.ablations.split(",")]
+    for name, tov, abl in variants:
         step, x, tile = build(r, n, c, heads, mlp_ratio, p_w,
-                              tile_override=args.tile or None,
-                              **ABLATIONS[name])
+                              tile_override=tov or None,
+                              vmem_mb=args.vmem_mb, **abl)
         t0 = time.time()
         _, carry = step(x, jnp.float32(0))
         float(carry)
