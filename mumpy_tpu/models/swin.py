@@ -56,6 +56,24 @@ def fused_mlp_tail(module, x, dim: int, mlp_ratio: float, deterministic: bool):
         interpret=pallas_sb.attention_mode() == "interpret",
     )
 
+def fused_site_enabled(site: str) -> bool:
+    """MUMPY_FUSED_ATTN_SITES env gate (comma list or "all"/"none").
+
+    Default: "cross,cva" — interleaved A/B on the v5e (scripts/ab_bench.py,
+    ±0.3% within run).  "vit" stays OFF even as a whole-block kernel: at batch
+    32 the (B*49, 3, 768) rows measured 271.9 vs 283.9 f/s — n=3 pads to 8
+    (2.7x wasted attention work) and XLA fuses the tiny attention into its
+    neighbors better than an opaque custom call.  NOTE: the gate is TRACE-TIME
+    only — it is read when jit traces (or when prepared operands are captured);
+    changing the env afterwards has no effect.
+    """
+    import os
+
+    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
+    site_set = {t.strip() for t in sites.split(",")}
+    return sites != "none" and (sites == "all" or site in site_set)
+
+
 def fused_attn_branch(module, x, num_heads, weights_fn, mask_bias_fn, p_w,
                       deterministic, var_name="attn_prepared", site="attn"):
     """``(y, x + y)`` via the fused LN+MSA+residual kernel when eligible, else None.
@@ -69,17 +87,12 @@ def fused_attn_branch(module, x, num_heads, weights_fn, mask_bias_fn, p_w,
 
     Defaults (interleaved A/B on the v5e, scripts/ab_bench.py, +-0.3%% within
     run): "cross" and "cva" are ON (+10 and +7 frames/s at batch 16 once the
-    kernels compute qkv/proj FULL-WIDTH through lane-sliced scratch); "vit" is
-    OFF (the (B*49, 3, 768) global-ViT rows lose ~4 f/s — XLA fuses that tiny
-    attention into its neighbors better than an opaque custom call).
+    kernels compute qkv/proj FULL-WIDTH through lane-sliced scratch).  The
+    "vit" site now dispatches the WHOLE VitBlock to the fused block kernel
+    (see ``VitBlock``) — this branch is its fallback when the full weight set
+    exceeds VMEM.
     """
-    import os
-
-    # NOTE: this gate is TRACE-TIME only — it is read when jit traces (or when
-    # prepared operands are captured); changing the env afterwards has no effect.
-    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
-    site_set = {t.strip() for t in sites.split(",")}
-    if sites == "none" or (sites != "all" and site not in site_set):
+    if not fused_site_enabled(site):
         return None
     if not (
         deterministic
@@ -517,10 +530,52 @@ class VitBlock(nn.Module):
         hd = c // h
         dp = self.drop_path_rate if dp_rate is None else dp_rate
 
-        # fused LN+MSA+residual kernel (inference): the global temporal ViT runs
-        # on (B*49, 3, 768) rows — pure launch overhead in XLA.  The attention
-        # weights (4C^2) fit VMEM where the whole-block set does not; the MLP
-        # half goes through fused_mlp_tail below.
+        # fused WHOLE-BLOCK kernel (inference, env-gated OFF by default): with
+        # the real VMEM capacity (128MB on v5e, see ops/pallas/swin_block.py)
+        # the full C=768 weight set (14.2MB bf16) stays resident and the whole
+        # LN→QKV→attn→proj→LN→MLP chain runs as ONE kernel per layer.  Measured
+        # 271.9 vs 283.9 f/s at batch 32 though — n=3 pads to 8 and XLA fuses
+        # the tiny attention well — so fused_site_enabled("vit") stays off.
+        # The kernel's mask-bias slot carries zeros (no rel-pos bias here).
+        use_block = (
+            deterministic
+            and pallas_sb.attention_mode() != "off"
+            and fused_site_enabled("vit")
+            and self.has_variable("params", "norm1")
+            and pallas_sb.supported(
+                c, self.mlp_dim, n,
+                itemsize=self.variables["params"]["mlp"]["fc1"]["kernel"].dtype.itemsize,
+            )
+        )
+        if use_block:
+            def compute_prepared():
+                v = self.variables["params"]
+                weights = {
+                    "ln1_scale": v["norm1"]["scale"], "ln1_bias": v["norm1"]["bias"],
+                    "qkv_kernel": v["qkv"]["kernel"], "qkv_bias": v["qkv"]["bias"],
+                    "proj_kernel": v["proj"]["kernel"], "proj_bias": v["proj"]["bias"],
+                    "ln2_scale": v["norm2"]["scale"], "ln2_bias": v["norm2"]["bias"],
+                    "fc1_kernel": v["mlp"]["fc1"]["kernel"],
+                    "fc1_bias": v["mlp"]["fc1"]["bias"],
+                    "fc2_kernel": v["mlp"]["fc2"]["kernel"],
+                    "fc2_bias": v["mlp"]["fc2"]["bias"],
+                }
+                mb = jnp.zeros((1, h, n, n), jnp.float32)
+                return pallas_sb.prepare_weights(weights, mb, heads=h, r=b)
+
+            if self.has_variable("prepared", "block"):
+                prepared = self.get_variable("prepared", "block")
+            elif self.is_mutable_collection("prepared"):
+                prepared = self.variable("prepared", "block", compute_prepared).value
+            else:
+                prepared = compute_prepared()
+            return pallas_sb.fused_swin_block_prepared(
+                x, prepared, heads=h, n=n, p_w=1,
+                interpret=pallas_sb.attention_mode() == "interpret",
+            )
+
+        # fallback halves: LN+MSA+residual kernel for the attention, LN-MLP
+        # kernel for the tail (the pre-VMEM-raise layout).
         def _weights():
             v = self.variables["params"]
             return {

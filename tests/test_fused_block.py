@@ -236,7 +236,10 @@ def test_fused_attn_ln_matches_reference(r, n, c, heads, period):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x + yref), atol=3e-4, rtol=3e-3)
 
 
-def test_vit_block_fused_matches_xla(monkeypatch):
+@pytest.mark.parametrize("path", ["block", "halves"])
+def test_vit_block_fused_matches_xla(monkeypatch, path):
+    """Whole-block kernel path, and the attn_ln+ln_mlp fallback when the full
+    weight set does not fit VMEM (simulated by forcing supported() False)."""
     monkeypatch.setenv("MUMPY_FUSED_ATTN_SITES", "all")
     from mumpy_tpu.models.swin import VitBlock
     from mumpy_tpu.ops.pallas import swin_block as psb
@@ -249,6 +252,8 @@ def test_vit_block_fused_matches_xla(monkeypatch):
     try:
         psb.set_mode("off")
         ref = blk.apply(params, x)
+        if path == "halves":
+            monkeypatch.setattr(psb, "supported", lambda *a, **k: False)
         psb.set_mode("interpret")
         got = blk.apply(params, x)
     finally:
