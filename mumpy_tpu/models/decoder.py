@@ -133,17 +133,36 @@ class TemporalSqueeze(nn.Module):
                 wc = self.variable("prepared", "folded_kernel", fold_kernel).value
             else:
                 wc = fold_kernel()
+            import os
+
             bias = self.variables["params"]["proj"]["bias"]
-            xparts = []
-            for t_dim, v, c in zip(temporal_dims, views, chans):
-                b = v.shape[0]
-                v = v.reshape(b, t_dim, -1, c)
-                n = v.shape[2]
-                # view slice at time t is v[t % t_dim] (torch tile order)
-                xparts.append(v.transpose(0, 2, 1, 3).reshape(b, n, t_dim * c))
-            xc = jnp.concatenate(xparts, axis=-1)
-            b, n, _ = xc.shape
-            x = (xc @ wc + bias).reshape(b, h, n // h, self.out_dim)
+            if os.environ.get("MUMPY_DECODER_FAST", "1") not in ("0", "off"):
+                # The (b,t,n,c)->(b,n,t*c) transposes were 3.4 ms/step of the
+                # batch-32 serving trace.  The concat matmul is linear, so run
+                # it as one matmul per (view, time) slice on the CONTIGUOUS
+                # (b, n, c) slices and sum — same math, zero data movement.
+                x = bias.astype(views[0].dtype)
+                off = 0
+                for t_dim, v, c in zip(temporal_dims, views, chans):
+                    b = v.shape[0]
+                    v = v.reshape(b, t_dim, -1, c)
+                    n = v.shape[2]
+                    for j in range(t_dim):
+                        # view slice at time t is v[t % t_dim] (torch tile order)
+                        x = x + v[:, j] @ wc[off:off + c]
+                        off += c
+            else:
+                xparts = []
+                for t_dim, v, c in zip(temporal_dims, views, chans):
+                    b = v.shape[0]
+                    v = v.reshape(b, t_dim, -1, c)
+                    n = v.shape[2]
+                    # view slice at time t is v[t % t_dim] (torch tile order)
+                    xparts.append(v.transpose(0, 2, 1, 3).reshape(b, n, t_dim * c))
+                xc = jnp.concatenate(xparts, axis=-1)
+                b, n, _ = xc.shape
+                x = xc @ wc + bias
+            x = x.reshape(b, h, n // h, self.out_dim)
         x = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn")(x)
         return nn.relu(x)
 

@@ -74,6 +74,15 @@ def fused_site_enabled(site: str) -> bool:
     return sites != "none" and (sites == "all" or site in site_set)
 
 
+def _vit_unrolled_enabled() -> bool:
+    """MUMPY_VIT_UNROLLED env gate for the unrolled small-n ViT attention
+    (trace-time, like the sites gate).  Default on — interleaved A/B at
+    serving batch 32 measured it against the einsum path (see VitBlock)."""
+    import os
+
+    return os.environ.get("MUMPY_VIT_UNROLLED", "1") not in ("0", "off")
+
+
 def fused_attn_branch(module, x, num_heads, weights_fn, mask_bias_fn, p_w,
                       deterministic, var_name="attn_prepared", site="attn"):
     """``(y, x + y)`` via the fused LN+MSA+residual kernel when eligible, else None.
@@ -593,11 +602,37 @@ class VitBlock(nn.Module):
             _, x = fused
         else:
             y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-            qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(y).reshape(b, n, 3, h, hd)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            attn = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k), axis=-1)
-            attn = nn.Dropout(self.drop)(attn, deterministic=deterministic)
-            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+            qkv = nn.Dense(3 * c, kernel_init=trunc_init, name="qkv")(y)
+            if n <= 4 and _vit_unrolled_enabled():
+                # UNROLLED small-n attention: the batched (b,h,n,n) einsums
+                # force (b,n,h,d)->(b,h,n,d) transposes — at n=3 those copies
+                # cost more than the attention itself (~4.9ms/step of the
+                # batch-16 serving trace was this region).  With n unrolled in
+                # Python, everything is elementwise multiplies and per-head
+                # reductions on (b, C)-shaped slices: zero transposes, fully
+                # XLA-fusable.  Identical math (same softmax over k).
+                q3 = [qkv[:, i, :c].reshape(b, h, hd) * hd**-0.5 for i in range(n)]
+                k3 = [qkv[:, j, c:2 * c].reshape(b, h, hd) for j in range(n)]
+                v3 = [qkv[:, j, 2 * c:].reshape(b, h, hd) for j in range(n)]
+                # scores[i]: (b, h, n) = q_i · k_j over hd, stacked along j
+                p = [
+                    jax.nn.softmax(jnp.stack(
+                        [jnp.sum(q3[i] * k3[j], axis=-1) for j in range(n)], -1
+                    ), axis=-1)
+                    for i in range(n)
+                ]
+                p = jnp.stack(p, 1)  # (b, n, h, n) — q index second, k minor
+                p = nn.Dropout(self.drop)(p, deterministic=deterministic)
+                y = jnp.stack([
+                    sum(p[:, i, :, j:j + 1] * v3[j] for j in range(n)).reshape(b, c)
+                    for i in range(n)
+                ], axis=1)
+            else:
+                qkv = qkv.reshape(b, n, 3, h, hd)
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                attn = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k), axis=-1)
+                attn = nn.Dropout(self.drop)(attn, deterministic=deterministic)
+                y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
             y = nn.Dense(c, kernel_init=trunc_init, name="proj")(y)
             y = nn.Dropout(self.drop)(y, deterministic=deterministic)
             rng = self.make_rng("dropout") if not deterministic else None

@@ -55,9 +55,17 @@ def main():
     steps = {}
     for variant in args.variants.split(","):
         # variant syntax: "<sites>[/<fused_block>]", e.g. "none/off" = pure XLA;
-        # "+" in sites stands for "," (variants themselves are comma-separated)
+        # "+" in sites stands for "," (variants themselves are comma-separated).
+        # A "nounroll" site token instead disables the unrolled small-n ViT
+        # attention (MUMPY_VIT_UNROLLED=0) for this variant.
+        # ... and a "slowdec" token disables the decoder fast paths
+        # (MUMPY_DECODER_FAST=0: transpose+concat TemporalSqueeze,
+        # reduce_window avg-pool) for this variant.
         sites, _, block = variant.partition("/")
-        sites = sites.replace("+", ",")
+        tokens = sites.replace("+", ",").split(",")
+        os.environ["MUMPY_VIT_UNROLLED"] = "0" if "nounroll" in tokens else "1"
+        os.environ["MUMPY_DECODER_FAST"] = "0" if "slowdec" in tokens else "1"
+        sites = ",".join(t for t in tokens if t not in ("nounroll", "slowdec")) or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
             block or args.fused_block or "auto"

@@ -81,3 +81,25 @@ def test_deterministic_is_pure(tiny_model):
     a = model.apply(params, clip)
     b = model.apply(params, clip)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vit_block_unrolled_matches_einsum(monkeypatch):
+    """The unrolled small-n ViT attention (zero-transpose layout) is the same
+    math as the batched einsum path — n<=4 only changes the op schedule."""
+    from mumpy_tpu.models.swin import VitBlock
+    from mumpy_tpu.ops.pallas import swin_block as psb
+
+    rng = np.random.default_rng(3)
+    b, n, c, heads = 10, 3, 48, 4
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    blk = VitBlock(dim=c, num_heads=heads, mlp_dim=4 * c)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    try:
+        psb.set_mode("off")  # keep both runs on the XLA paths
+        monkeypatch.setenv("MUMPY_VIT_UNROLLED", "0")
+        ref = blk.apply(params, x)
+        monkeypatch.setenv("MUMPY_VIT_UNROLLED", "1")
+        got = blk.apply(params, x)
+    finally:
+        psb.set_mode(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
