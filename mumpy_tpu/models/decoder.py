@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..configs.model_config import MumpyConfig
-from ..ops.pixel import avg_pool_2d, pixel_shuffle
+from ..ops.pixel import avg_pool_2d, dap_pool, pixel_shuffle
 from ..ops.resize import upsample_2d
 from .encoder import merge_views_along_channel_axis
 from .swin import gelu, trunc_init  # noqa: F401 (gelu unused here, relu decoder)
@@ -222,6 +222,6 @@ class MumpyDecoder(nn.Module):
         y = ConvGNReLUUp(nc * k2, name="decoder_3")(y + gcn2 * freq2)
         y = ConvGNReLUUp(nc * k2, name="decoder_4")(y + gcn3 * freq1)
         y = ConvGNReLUUp(nc * k2, name="decoder_5")(y * freq0)
-        y = avg_pool_2d(pixel_shuffle(y, cfg.decoder_dap_k), cfg.decoder_dap_k)  # DAP
+        y = dap_pool(y, cfg.decoder_dap_k)  # DAP (``decoder.py:139,224``)
         logits = nn.Conv(1, (3, 3), padding=1, name="final_out")(y)
         return logits, y

@@ -148,6 +148,10 @@ class SwinDAttention(nn.Module):
         v = self.variables["params"]
         if not pallas_cva.supported(c, n, v["proj_q"]["kernel"].dtype.itemsize):
             return None
+        # narrow instances can stay on XLA (MUMPY_CVA_KERNEL_MIN_C, trace-time;
+        # ab_bench token "cvawide" sets 192 to bench stage-0 c=96/128 on XLA)
+        if c < int(os.environ.get("MUMPY_CVA_KERNEL_MIN_C", "0")):
+            return None
 
         def compute():
             weights = {

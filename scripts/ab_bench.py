@@ -65,7 +65,9 @@ def main():
         tokens = sites.replace("+", ",").split(",")
         os.environ["MUMPY_VIT_UNROLLED"] = "0" if "nounroll" in tokens else "1"
         os.environ["MUMPY_DECODER_FAST"] = "0" if "slowdec" in tokens else "1"
-        sites = ",".join(t for t in tokens if t not in ("nounroll", "slowdec")) or "none"
+        os.environ["MUMPY_CVA_KERNEL_MIN_C"] = "192" if "cvawide" in tokens else "0"
+        sites = ",".join(t for t in tokens
+                         if t not in ("nounroll", "slowdec", "cvawide")) or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
             block or args.fused_block or "auto"

@@ -68,6 +68,26 @@ def test_avg_pool_matches_torch():
     ours = np.asarray(avg_pool_2d(jnp.asarray(x), 2))
     theirs = _to_nhwc(F.avg_pool2d(_nchw(x), 2, 2))
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+    # k=3 divisible + the overlapping-stride reduce_window fallback
+    x = RNG.standard_normal((2, 9, 9, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(avg_pool_2d(jnp.asarray(x), 3)),
+        _to_nhwc(F.avg_pool2d(_nchw(x), 3, 3)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(avg_pool_2d(jnp.asarray(x), 3, 1)),
+        _to_nhwc(F.avg_pool2d(_nchw(x), 3, 1)), atol=1e-6)
+
+
+def test_dap_pool_matches_composite():
+    """dap_pool == avg_pool(pixel_shuffle(x, k), k) (torch-checked composite)."""
+    from mumpy_tpu.ops.pixel import dap_pool
+
+    for k in (2, 3):
+        x = RNG.standard_normal((2, 5, 7, 8 * k * k)).astype(np.float32)
+        composite = _to_nhwc(F.avg_pool2d(_nchw(
+            _to_nhwc(F.pixel_shuffle(_nchw(x), k))), k, k))
+        np.testing.assert_allclose(
+            np.asarray(dap_pool(jnp.asarray(x), k)), composite, atol=1e-6)
 
 
 def test_window_partition_roundtrip_and_order():
