@@ -250,6 +250,11 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
 
     Returns (tile, reps, parts) like :func:`_pick_tile`.
     """
+    import os
+
+    cap_env = os.environ.get("MUMPY_PER_BUF_CAP_KB")
+    if cap_env:
+        per_buf_cap = int(cap_env) * 1024
     bpw_act = npad * c * itemsize
     mask_bpw = heads * npad * npad * itemsize if p_w > 1 else 0
     weight_bytes = itemsize * 4 * c * c + extra_weight_bytes  # qkv+proj (+ MLP)

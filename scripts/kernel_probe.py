@@ -50,7 +50,7 @@ def ablated_kernel(
     *, heads, n_valid, scale,
     do_ln1=True, do_qkv=True, do_scores=True, do_softmax=True, do_pv=True,
     do_proj=True, do_mlp=True, hoist_softmax=False, scores_scr=None,
-    scr3d=False,
+    scr3d=False, pack=0, qp_scr=None, kp_scr=None, sp_scr=None,
 ):
     """Copy of swin_block._block_kernel with phase switches.
 
@@ -85,7 +85,45 @@ def ablated_kernel(
 
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
 
-    if scr3d:
+    if pack:
+        # LANE-PACKED scores: P heads share one matmul.  q/k of head i sit in
+        # lane block [i*hd, (i+1)*hd) and row block i — disjoint lane supports
+        # make every off-diagonal (q_i · k_j, i != j) block exactly zero, so
+        # ONE (P*npad, P*hd) @ (P*hd, P*kb) matmul yields all P heads' scores
+        # on its block diagonal.  Key rows are placed on 64-row blocks so the
+        # extraction lane offsets are 64-aligned.
+        P, kb = pack, 64
+        qp_scr[:] = jnp.zeros_like(qp_scr)
+        kp_scr[:] = jnp.zeros_like(kp_scr)
+        for g in range(heads // P):
+            for i in range(P):
+                h = g * P + i
+                qp_scr[:, i * npad:(i + 1) * npad, i * hd:(i + 1) * hd] = (
+                    qkv_scr[:, :, h * hd:(h + 1) * hd])
+                kp_scr[:, i * kb:i * kb + npad, i * hd:(i + 1) * hd] = (
+                    qkv_scr[:, :, c + h * hd:c + (h + 1) * hd])
+            sp_scr[:] = jax.lax.dot_general(
+                qp_scr[:], kp_scr[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for i in range(P):
+                h = g * P + i
+                scores_scr[h * tile:(h + 1) * tile] = (
+                    sp_scr[:, i * npad:(i + 1) * npad, i * kb:i * kb + npad]
+                    * scale + mb_ref[h].astype(jnp.float32))
+        sall = scores_scr[:]
+        sall = jnp.where(key_ids[None] < n_valid, sall, -1e30)
+        m = jnp.max(sall, axis=-1, keepdims=True)
+        e = jnp.exp(sall - m)
+        scores_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
+        for h in range(heads):
+            v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            p = scores_scr[h * tile:(h + 1) * tile].astype(dtype)
+            o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                p, v3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+    elif scr3d:
         # 3D scratches: per-head q/k/v access is a pure lane slice — no
         # (tile*npad, hd) -> (tile, npad, hd) sublane-splitting value reshape
         # per head (the 2D layout does 3*heads of them per grid step).
@@ -220,7 +258,21 @@ def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None
             pltpu.VMEM((tile * npad, 3 * c), dtype),
             pltpu.VMEM((tile * npad, c), dtype),
         ]
-    if abl.get("hoist_softmax"):
+    if abl.get("pack"):
+        P, kb = abl["pack"], 64
+        scratch += [
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),
+            pltpu.VMEM((tile, P * npad, P * hd), dtype),
+            pltpu.VMEM((tile, P * kb, P * hd), dtype),
+            pltpu.VMEM((tile, P * npad, P * kb), jnp.float32),
+        ]
+
+        def kern(*refs):
+            *io, qkv_scr, o_scr, s_scr, qp, kp, sp = refs
+            ablated_kernel(*io, qkv_scr, o_scr, heads=heads, n_valid=n,
+                           scale=hd ** -0.5, scores_scr=s_scr,
+                           qp_scr=qp, kp_scr=kp, sp_scr=sp, **abl)
+    elif abl.get("hoist_softmax"):
         scratch.append(pltpu.VMEM((heads * tile, npad, npad), jnp.float32))
 
         def kern(*refs):
@@ -263,6 +315,9 @@ ABLATIONS = {
     "full": {},
     "scr3d": {"scr3d": True},
     "hoist": {"hoist_softmax": True},
+    "pack2": {"scr3d": True, "pack": 2},
+    "pack4": {"scr3d": True, "pack": 4},
+    "pack8": {"scr3d": True, "pack": 8},
     "no_softmax": {"do_softmax": False},
     "no_scores": {"do_scores": False, "do_softmax": False},
     "no_attnmm": {"do_scores": False, "do_softmax": False, "do_pv": False},
