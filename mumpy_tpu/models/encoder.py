@@ -24,13 +24,15 @@ import numpy as np
 
 from ..configs.model_config import MumpyConfig, ViewConfig
 from ..ops.dct import faf
+from ..ops.pallas import attn_ln_vjp as pallas_alv
 from ..ops.pallas import swin_block as pallas_sb
 from ..ops.pallas import swin_block_vjp as pallas_sbv
 from ..ops.window import partition_tokens, unpartition_tokens, window_partition
 from .deformable import CVAModule
 from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
                    drop_path, fused_attn_branch, fused_mlp_tail,
-                   relative_position_index, trunc_init, window_attend)
+                   fused_mlp_tail_train, relative_position_index, trunc_init,
+                   window_attend)
 
 
 class PatchEmbed3D(nn.Module):
@@ -145,16 +147,58 @@ class CrossSwinBlock(nn.Module):
                 )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x1i), deterministic)
             return fm, out
 
-        shortcut = x1
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x1)
-        attn = WindowAttention(
-            self.dim1, (window, window), self.num_heads,
-            attn_drop=self.attn_drop, proj_drop=self.drop, name="attn",
+        # fused TRAINING attention half (custom VJP): one kernel computes the
+        # W-MSA branch y AND the residual out = x1 + keep*y; the backward
+        # recomputes in-kernel and spills the weight-grad operands (see
+        # ops/pallas/attn_ln_vjp.py).  The partner-stream `out` keeps the
+        # reference's pre-drop-path semantics (multiTemporalViewEncoder.py:275).
+        fused_train = (
+            not deterministic
+            and not self.is_initializing()
+            and pallas_sbv.train_mode() != "off"
+            and pallas_sbv.train_site_enabled("cross")
+            and self.has_variable("params", "norm1")
+            and pallas_alv.train_supported(
+                c1, n,
+                self.variables["params"]["attn"]["qkv"]["kernel"].dtype.itemsize,
+                self.drop, self.attn_drop,
+            )
         )
-        y = window_attend(attn, y, (t1 * h, w), window, 0, deterministic)
-        out = y
-        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
-        x1 = shortcut + drop_path(y, self.drop_path_rate, deterministic, rng)
+        if fused_train:
+            v = self.variables["params"]
+            weights = {
+                "lns": v["norm1"]["scale"][None], "lnb": v["norm1"]["bias"][None],
+                "wqkv": v["attn"]["qkv"]["kernel"],
+                "bqkv": v["attn"]["qkv"]["bias"][None],
+                "wproj": v["attn"]["proj"]["kernel"],
+                "bproj": v["attn"]["proj"]["bias"][None],
+            }
+            mb = _bias()
+            nw = (gh1 // window) * (gw1 // window)
+            if self.drop_path_rate > 0:
+                keep = 1.0 - jnp.asarray(self.drop_path_rate, jnp.float32)
+                mask_b = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (b1, 1)).astype(jnp.float32)
+                k1 = jnp.repeat(mask_b / keep, nw, axis=0)
+            else:
+                k1 = jnp.ones((b1 * nw, 1), jnp.float32)
+            yw, x1w = pallas_alv.fused_attn_ln_train(
+                x1w_in, mb, weights, k1, self.num_heads, n, 1,
+                pallas_sbv.train_mode() == "interpret",
+            )
+            out = unpartition_tokens(yw, gh1, gw1, window, 0)
+            x1 = unpartition_tokens(x1w, gh1, gw1, window, 0)
+        else:
+            shortcut = x1
+            y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x1)
+            attn = WindowAttention(
+                self.dim1, (window, window), self.num_heads,
+                attn_drop=self.attn_drop, proj_drop=self.drop, name="attn",
+            )
+            y = window_attend(attn, y, (t1 * h, w), window, 0, deterministic)
+            out = y
+            rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+            x1 = shortcut + drop_path(y, self.drop_path_rate, deterministic, rng)
 
         if not self.last_view:
             b2, l2, c2 = x2.shape
@@ -174,6 +218,11 @@ class CrossSwinBlock(nn.Module):
             rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
             x1 = x1 + drop_path(y, self.drop_path_rate, deterministic, rng)
 
+        if not deterministic:
+            fm = fused_mlp_tail_train(self, x1, self.dim1, self.drop_path_rate,
+                                      self.drop)
+            if fm is not None:
+                return fm, out
         fused = fused_mlp_tail(self, x1, self.dim1, self.mlp_ratio, deterministic)
         if fused is not None:
             return fused, out
@@ -341,7 +390,8 @@ class ThreeViewStages(nn.Module):
                     # wide, dropout on, MUMPY_FUSED_TRAIN=off) keep remat.
                     kernel_owns_memory = False
                     if (not deterministic and not self.is_initializing()
-                            and pallas_sbv.train_mode() != "off"):
+                            and pallas_sbv.train_mode() != "off"
+                            and pallas_sbv.train_site_enabled("block")):
                         p = self.variables.get("params", {})
                         name = (f"stage{s}_pairs_view{v + 1}" if n_plain > 1
                                 else f"stage{s}_last_view{v + 1}")

@@ -30,6 +30,7 @@ from ..ops.pallas import window_attention as pallas_wa
 from ..ops.pallas import swin_block as pallas_sb
 from ..ops.pallas import swin_block_vjp as pallas_sbv
 from ..ops.pallas import ln_mlp as pallas_lm
+from ..ops.pallas import ln_mlp_vjp as pallas_lmv
 from ..ops.pallas import attn_ln as pallas_al
 
 
@@ -55,6 +56,45 @@ def fused_mlp_tail(module, x, dim: int, mlp_ratio: float, deterministic: bool):
         w1, v["mlp"]["fc1"]["bias"], v["mlp"]["fc2"]["kernel"], v["mlp"]["fc2"]["bias"],
         interpret=pallas_sb.attention_mode() == "interpret",
     )
+
+def fused_mlp_tail_train(module, x, dim: int, dp, drop: float):
+    """``x + drop_path(Mlp(LN(x)))`` via the custom-VJP LN+MLP kernel, else None.
+
+    Training counterpart of :func:`fused_mlp_tail` for block tails whose
+    attention half cannot share the whole-block train kernel (CrossSwinBlock,
+    VitBlock) — the round-2 DVI train trace showed their XLA fwd+bwd dominated
+    by copy/fusion launches.  drop_path becomes per-sample keep factors (rows
+    are sample-major after flattening); ``dp`` may be a traced per-depth rate
+    (the scanned ViT stack passes it as a scan input).
+    """
+    if (module.is_initializing()
+            or pallas_sbv.train_mode() == "off"
+            or not pallas_sbv.train_site_enabled("mlp")
+            or not module.has_variable("params", "norm2")):
+        return None
+    v = module.variables["params"]
+    w1 = v["mlp"]["fc1"]["kernel"]
+    if not pallas_lmv.train_supported(dim, w1.shape[-1], w1.dtype.itemsize, drop):
+        return None
+    b = x.shape[0]
+    tokens = x.size // (b * dim)
+    if isinstance(dp, float) and dp == 0.0:
+        keep_rows = jnp.ones((b * tokens, 1), jnp.float32)
+    else:
+        keep = 1.0 - jnp.asarray(dp, jnp.float32)
+        mask_b = jax.random.bernoulli(
+            module.make_rng("dropout"), keep, (b, 1)).astype(jnp.float32)
+        keep_rows = jnp.repeat(mask_b / keep, tokens, axis=0)
+    weights = {
+        "lns": v["norm2"]["scale"][None], "lnb": v["norm2"]["bias"][None],
+        "wfc1": w1, "bfc1": v["mlp"]["fc1"]["bias"][None],
+        "wfc2": v["mlp"]["fc2"]["kernel"], "bfc2": v["mlp"]["fc2"]["bias"][None],
+    }
+    y = pallas_lmv.fused_ln_mlp_train(
+        x.reshape(b * tokens, dim), weights, keep_rows,
+        pallas_sbv.train_mode() == "interpret")
+    return y.reshape(x.shape)
+
 
 def fused_site_enabled(site: str) -> bool:
     """MUMPY_FUSED_ATTN_SITES env gate (comma list or "all"/"none").
@@ -328,6 +368,7 @@ class SwinBlock(nn.Module):
             and not pre_windowed
             and not self.is_initializing()
             and pallas_sbv.train_mode() != "off"
+            and pallas_sbv.train_site_enabled("block")
             and self.has_variable("params", "norm1")
             and pallas_sbv.train_supported(
                 self.dim, int(self.dim * self.mlp_ratio), window * window,
@@ -637,6 +678,10 @@ class VitBlock(nn.Module):
             y = nn.Dropout(self.drop)(y, deterministic=deterministic)
             rng = self.make_rng("dropout") if not deterministic else None
             x = x + drop_path(y, dp, deterministic, rng)
+        if not deterministic:
+            fused = fused_mlp_tail_train(self, x, c, dp, self.drop)
+            if fused is not None:
+                return fused
         fused = fused_mlp_tail(self, x, c, self.mlp_dim / c, deterministic)
         if fused is not None:
             return fused

@@ -74,6 +74,20 @@ def train_mode() -> str:
     return attention_mode()
 
 
+def train_site_enabled(site: str) -> bool:
+    """MUMPY_FUSED_TRAIN_SITES env gate over the train-kernel call sites:
+    "block" = the whole-block SwinBlock kernel, "cross" = the CrossSwinBlock
+    attention half (ops/pallas/attn_ln_vjp.py), "mlp" = the CrossSwinBlock /
+    VitBlock LN+MLP tails (ops/pallas/ln_mlp_vjp.py).  Comma list or
+    "all"/"none"; TRACE-TIME only, like models.swin.fused_site_enabled."""
+    import os
+
+    sites = os.environ.get("MUMPY_FUSED_TRAIN_SITES", "all")
+    if sites == "none":
+        return False
+    return sites == "all" or site in {t.strip() for t in sites.split(",")}
+
+
 def train_supported(c: int, mlp_hidden: int, n: int, itemsize: int,
                     drop: float, attn_drop: float) -> bool:
     """The training kernel additionally requires all elementwise dropout rates

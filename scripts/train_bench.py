@@ -47,8 +47,11 @@ def main():
 
     progs = {}
     for variant in args.variants.split(","):
-        # "<remat>[+kernel][+unroll]": +kernel enables the custom-VJP fused
-        # train block, +unroll unrolls the training-path scans
+        # "<remat>[+kernel][+unroll][+sites:a.b]": +kernel enables the
+        # custom-VJP fused train kernels, +unroll unrolls the training-path
+        # scans, +sites:block.cross.mlp restricts which train-kernel call
+        # sites fire ("." separates because "," separates variants; the gate
+        # is trace-time, so setting the env before the compile call works)
         base, *suffixes = variant.split("+")
         cfg = multiswin_config()
         if base == "none":
@@ -57,6 +60,10 @@ def main():
             cfg = dataclasses.replace(cfg, remat_policy=base)
         if "unroll" in suffixes:
             cfg = dataclasses.replace(cfg, train_scan_unroll=True)
+        os.environ.pop("MUMPY_FUSED_TRAIN_SITES", None)
+        for sfx in suffixes:
+            if sfx.startswith("sites:"):
+                os.environ["MUMPY_FUSED_TRAIN_SITES"] = sfx[6:].replace(".", ",")
         vjp_mod.set_train_mode("compiled" if "kernel" in suffixes else "off")
         state = create_train_state(
             cfg, OptimConfig(), iter_max=1000, rng=jax.random.PRNGKey(0)

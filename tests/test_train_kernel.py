@@ -86,6 +86,86 @@ def test_fused_train_block_grads(p_w, keep_dropped):
             err_msg=f"weight grad mismatch: {k}")
 
 
+def test_fused_attn_ln_train_grads():
+    """Attention-half train kernel (CrossSwinBlock): the W-MSA output is used
+    twice (partner stream + residual), so the loss feeds BOTH outputs and the
+    backward must combine both cotangents."""
+    import mumpy_tpu.ops.pallas.attn_ln_vjp as alv
+
+    heads, n, r, c = 3, 16, 8, 24
+    x, mb, w = _mk(heads=heads, n=n, r=r, p_w=1)
+    w = {"lns": w["ln1s"], "lnb": w["ln1b"], "wqkv": w["wqkv"],
+         "bqkv": w["bqkv"], "wproj": w["wproj"], "bproj": w["bproj"]}
+    keep1 = jnp.ones((r, 1), jnp.float32).at[2:4].set(0.0) * 1.25
+
+    def loss_kernel(x, mb, w):
+        y, out = alv.fused_attn_ln_train(x, mb, w, keep1, heads, n, 1, True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(jnp.cos(out))
+
+    def loss_ref(x, mb, w):
+        y, out = alv.xla_attn_ln_reference(x, mb, w, keep1, heads=heads, n=n,
+                                           p_w=1)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(jnp.cos(out))
+
+    yk, outk = alv.fused_attn_ln_train(x, mb, w, keep1, heads, n, 1, True)
+    yr, outr = alv.xla_attn_ln_reference(x, mb, w, keep1, heads=heads, n=n,
+                                         p_w=1)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=2e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(outk), np.asarray(outr), atol=2e-5,
+                               rtol=1e-5)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, mb, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, mb, w)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=3e-4, rtol=1e-3)  # dx
+    np.testing.assert_allclose(
+        np.asarray(gk[1].sum(0)), np.asarray(gr[1].sum(0)), atol=3e-4,
+        rtol=1e-3)  # dmb (row-total in slot 0)
+    for k in sorted(w):
+        np.testing.assert_allclose(
+            np.asarray(gk[2][k]), np.asarray(gr[2][k]), atol=5e-4, rtol=2e-3,
+            err_msg=f"weight grad mismatch: {k}")
+
+
+@pytest.mark.parametrize("rows", [64, 36])  # 36: not an 8-multiple (ViT tail)
+def test_fused_ln_mlp_train_grads(rows):
+    import mumpy_tpu.ops.pallas.ln_mlp_vjp as lmv
+
+    c, m = 24, 96
+    w = {
+        "lns": 1.0 + 0.1 * RNG.standard_normal((1, c)),
+        "lnb": 0.1 * RNG.standard_normal((1, c)),
+        "wfc1": RNG.standard_normal((c, m)) / np.sqrt(c),
+        "bfc1": 0.1 * RNG.standard_normal((1, m)),
+        "wfc2": RNG.standard_normal((m, c)) / np.sqrt(m),
+        "bfc2": 0.1 * RNG.standard_normal((1, c)),
+    }
+    w = {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
+    x = jnp.asarray(RNG.standard_normal((rows, c)), jnp.float32)
+    keep = (jnp.ones((rows, 1), jnp.float32).at[3:7].set(0.0)) * 1.25
+
+    def loss_kernel(x, w):
+        return jnp.sum(jnp.sin(lmv.fused_ln_mlp_train(x, w, keep, True)))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.sin(lmv.xla_ln_mlp_reference(x, w, keep)))
+
+    yk = lmv.fused_ln_mlp_train(x, w, keep, True)
+    yr = lmv.xla_ln_mlp_reference(x, w, keep)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=2e-5,
+                               rtol=1e-5)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(x, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=3e-4, rtol=1e-3)
+    for k in sorted(w):
+        np.testing.assert_allclose(
+            np.asarray(gk[1][k]), np.asarray(gr[1][k]), atol=5e-4, rtol=2e-3,
+            err_msg=f"weight grad mismatch: {k}")
+
+
 def test_xla_reference_matches_flax_block():
     """The XLA reference itself reproduces SwinBlock's math (sanity anchor):
     identical layernorm epsilon, gelu, residual order."""
