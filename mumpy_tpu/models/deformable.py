@@ -30,6 +30,14 @@ from ..ops.pallas import swin_block as pallas_sb
 from .swin import drop_path, gelu, trunc_init
 
 
+def _offset_dedup_enabled() -> bool:
+    """MUMPY_CVA_OFFSET_DEDUP=0 reverts to running the offset branch on the
+    ratio-tiled queries (trace-time gate, for interleaved A/B benching)."""
+    import os
+
+    return os.environ.get("MUMPY_CVA_OFFSET_DEDUP", "1") != "0"
+
+
 def _reference_points(h: int, w: int) -> np.ndarray:
     """Normalized (y, x) cell-center grid in [-1, 1] (``deformableAttention.py:311-322``)."""
     ys = (np.linspace(0.5, h - 0.5, h) / h) * 2 - 1
@@ -63,11 +71,23 @@ class SwinDAttention(nn.Module):
         # tile queries: x1r[k] = x1[k % B1] (torch ``repeat`` order, ``:330``)
         x1r = jnp.tile(x1, (ratio, 1, 1))
 
-        fused = self._fused_call(x1r, x2, b1, ratio, deterministic)
+        fused = self._fused_call(x1, x1r, x2, b1, ratio, deterministic)
         if fused is not None:
             return fused
 
-        q, pos = self._query_and_positions(x1r)  # pos: (B2*g, ws, ws, 2) (y, x)
+        # the ratio copies of the tiled queries are identical, so the offset
+        # branch (proj_q + 5x5 depthwise chain) runs on the UNTILED windows and
+        # only its outputs are tiled — exact same values as the reference's
+        # offsets-on-tiled-queries order (deformableAttention.py:330-345), at
+        # 1/ratio the cost (ratio=3 for the view2->view3 instances).
+        if ratio > 1 and _offset_dedup_enabled():
+            q1, pos1 = self._query_and_positions(x1)  # (B1*g, ws, ws, 2)
+            q = jnp.tile(q1, (ratio, 1, 1))
+            pos = jnp.tile(
+                pos1.reshape(1, b1 * g, ws, ws, 2), (ratio, 1, 1, 1, 1)
+            ).reshape(b2 * g, ws, ws, 2)
+        else:
+            q, pos = self._query_and_positions(x1r)
         grid = pos[..., ::-1].reshape(b2 * g, n, 2)  # -> (x, y) order
 
         # ---- sample the partner view per offset group ----
@@ -121,7 +141,8 @@ class SwinDAttention(nn.Module):
         pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)
         return q, pos
 
-    def _fused_call(self, x1r, x2, b1: int, ratio: int, deterministic: bool):
+    def _fused_call(self, x1, x1r, x2, b1: int, ratio: int,
+                    deterministic: bool):
         """Dispatch the deformable CVA's sampling+attention to the fused kernel.
 
         Inference-only (dropout inactive); returns None when ineligible.  The
@@ -173,11 +194,19 @@ class SwinDAttention(nn.Module):
             prepared = compute()
 
         # ---- offset branch in XLA (shared helper = shared submodules/params) ----
+        # run it on the UNTILED queries (the ratio copies are identical — see
+        # __call__) and tile only the tiny per-group coordinate planes.
         ws = self.window
         g = self.n_groups
         gc = c // g
-        _, pos = self._query_and_positions(x1r)  # (r*g, ws, ws, 2) (y, x)
-        pos = pos.reshape(r, g, n, 2).transpose(1, 0, 2, 3).astype(jnp.float32)
+        if ratio > 1 and _offset_dedup_enabled():
+            _, pos1 = self._query_and_positions(x1)  # (b1*g, ws, ws, 2)
+            pos1 = pos1.reshape(b1, g, n, 2).transpose(1, 0, 2, 3)
+            pos = jnp.tile(pos1, (1, ratio, 1, 1)).astype(jnp.float32)
+        else:
+            _, pos = self._query_and_positions(x1r)
+            pos = pos.reshape(r, g, n, 2).transpose(1, 0, 2, 3)
+            pos = pos.astype(jnp.float32)
         gy = (pos[..., 0] + 1.0) * 0.5 * (ws - 1)  # absolute pixel coords
         gx = (pos[..., 1] + 1.0) * 0.5 * (ws - 1)
 

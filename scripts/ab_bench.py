@@ -66,13 +66,15 @@ def main():
         os.environ["MUMPY_VIT_UNROLLED"] = "0" if "nounroll" in tokens else "1"
         os.environ["MUMPY_DECODER_FAST"] = "0" if "slowdec" in tokens else "1"
         os.environ["MUMPY_CVA_KERNEL_MIN_C"] = "192" if "cvawide" in tokens else "0"
+        # "nodedup" reverts the CVA offset-branch ratio dedup for this variant
+        os.environ["MUMPY_CVA_OFFSET_DEDUP"] = "0" if "nodedup" in tokens else "1"
         if "bigtiles" in tokens:  # 2MB per-buffer tile cap (default 768KB)
             os.environ["MUMPY_PER_BUF_CAP_KB"] = "2048"
         else:
             os.environ.pop("MUMPY_PER_BUF_CAP_KB", None)
         sites = ",".join(t for t in tokens
                          if t not in ("nounroll", "slowdec", "cvawide",
-                                      "bigtiles")) or "none"
+                                      "bigtiles", "nodedup")) or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
             block or args.fused_block or "auto"
