@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -367,6 +369,22 @@ class ThreeViewStages(nn.Module):
                     t_v = vcfgs[v].temporal_dim
                     gh, gw = t_v * res[0], res[1]
                     x[v] = partition_tokens(x[v], gh, gw, wclamp, 0)
+                    # padded carry: sublane-round the window rows ONCE per
+                    # stack so the fused kernel's per-block (pad, slice) pair
+                    # collapses into this pad and the slice below.  Measured
+                    # and REJECTED at batch 32 (interleaved: 315.8 vs 317.7
+                    # f/s): XLA already fuses the 49->56 pad/slice into the
+                    # custom call's operand copies, while the padded carry
+                    # makes the shift gathers and kernel I/O 14% bigger.
+                    # Default OFF; MUMPY_PADDED_CARRY=1 re-enables (ab_bench
+                    # default variants run flat; parity held either way).
+                    n_wd = wclamp * wclamp
+                    npad_wd = -(-n_wd // 8) * 8
+                    if os.environ.get("MUMPY_PADDED_CARRY", "0") in ("0", "off"):
+                        npad_wd = n_wd
+                    if npad_wd != n_wd:
+                        x[v] = jnp.pad(
+                            x[v], ((0, 0), (0, npad_wd - n_wd), (0, 0)))
                 if n_pairs > 0:
                     # remat the scan body: O(1) activation memory over the deep
                     # stage at the cost of one extra forward under grad.  Only on
@@ -454,7 +472,8 @@ class ThreeViewStages(nn.Module):
                         name=f"stage{s}_last_view{v + 1}",
                     )(x[v], deterministic, pre_windowed=use_wd)
                 if use_wd:
-                    x[v] = unpartition_tokens(x[v], gh, gw, wclamp, 0)
+                    x[v] = unpartition_tokens(x[v][:, :n_wd, :], gh, gw,
+                                              wclamp, 0)
 
             stage_outputs.append(list(x))
             if s < 3:

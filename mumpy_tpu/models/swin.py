@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops.window import (partition_tokens, shifted_window_mask,
                           unpartition_tokens, window_layout_perm,
+                          window_layout_perm_padded,
                           window_partition, window_reverse)
 from ..ops.pallas import window_attention as pallas_wa
 from ..ops.pallas import swin_block as pallas_sb
@@ -423,7 +424,10 @@ class SwinBlock(nn.Module):
         needs two gathers."""
         gh, gw = self.temporal_dim * self.input_resolution[0], self.input_resolution[1]
         if pre_windowed:
-            r, _, c = x.shape
+            # rows_in may exceed window^2: a padded scan carry keeps windows
+            # sublane-rounded (n -> npad) so the kernel's per-block pad/slice
+            # and the two layout ops around it vanish over a deep stack.
+            r, rows_in, c = x.shape
         else:
             b, l, c = x.shape
         n = window * window
@@ -465,9 +469,14 @@ class SwinBlock(nn.Module):
 
         if pre_windowed:
             if shift > 0:
-                perm = jnp.asarray(window_layout_perm(gh, gw, window, 0, shift))
-                wins = jnp.take(x.reshape(b, gh * gw, c), perm, axis=1)
-                wins = wins.reshape(b * nw, n, c)
+                if rows_in == n:
+                    perm = window_layout_perm(gh, gw, window, 0, shift)
+                else:
+                    perm = window_layout_perm_padded(
+                        gh, gw, window, 0, shift, rows_in)
+                wins = jnp.take(x.reshape(b, nw * rows_in, c),
+                                jnp.asarray(perm), axis=1)
+                wins = wins.reshape(b * nw, rows_in, c)
             else:
                 wins = x
         else:
@@ -478,9 +487,14 @@ class SwinBlock(nn.Module):
         )
         if pre_windowed:
             if shift > 0:
-                iperm = jnp.asarray(window_layout_perm(gh, gw, window, shift, 0))
-                wins = jnp.take(wins.reshape(b, gh * gw, c), iperm, axis=1)
-                wins = wins.reshape(b * nw, n, c)
+                if rows_in == n:
+                    iperm = window_layout_perm(gh, gw, window, shift, 0)
+                else:
+                    iperm = window_layout_perm_padded(
+                        gh, gw, window, shift, 0, rows_in)
+                wins = jnp.take(wins.reshape(b, nw * rows_in, c),
+                                jnp.asarray(iperm), axis=1)
+                wins = wins.reshape(b * nw, rows_in, c)
             return wins
         return unpartition_tokens(wins, gh, gw, window, shift)
 

@@ -363,11 +363,14 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
                               interpret: bool = False):
     """Run one full Swin block on partitioned windows with pre-built operands.
 
-    x: (R, N, C) window tokens (R = batch * windows, window-major within batch).
+    x: (R, N, C) window tokens (R = batch * windows, window-major within batch),
+    or (R, NPAD, C) already sublane-padded (a padded scan carry — rows past
+    ``n`` are ignored garbage and the pad/slice pair here is skipped; the
+    output keeps the padded layout in that case).
     prepared: output of :func:`prepare_weights` (``p_w`` is the original mask
-        period in windows).  Returns (R, N, C).
+        period in windows).  Returns (R, N, C) (or (R, NPAD, C) if padded in).
     """
-    r, _, c = x.shape
+    r, rows_in, c = x.shape
     hd = c // heads
     scale = hd**-0.5
     npad = -(-n // 8) * 8
@@ -391,7 +394,13 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         nb = mbw // tile
         mb_block, mb_index = tile, (lambda i, nb=nb: (0, i % nb, 0, 0))
 
-    xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    if rows_in == npad:
+        xp = x
+    elif rows_in == n:
+        xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    else:
+        raise ValueError(
+            f"window rows {rows_in} match neither n={n} nor npad={npad}")
     wl = [prepared[k] for k in _WL_ORDER]
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
@@ -426,7 +435,7 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         interpret=interpret,
         compiler_params=kernel_compiler_params(),
     )(xp, prepared["mb"], *wl)
-    return out[:, :n, :]
+    return out if rows_in == npad else out[:, :n, :]
 
 
 def fused_swin_block(x, mask_bias, weights, *, heads: int, interpret: bool = False):

@@ -9,6 +9,8 @@ index semantics on the trailing NHWC axis so ported weights line up.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -69,7 +71,22 @@ def dap_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
     if os.environ.get("MUMPY_DECODER_FAST", "1") in ("0", "off"):
         return avg_pool_2d(pixel_shuffle(x, k), k)
     kk = k * k
-    acc = x[..., 0::kk]
-    for m in range(1, kk):
-        acc = acc + x[..., m::kk]
-    return acc * jnp.asarray(1.0 / kk, x.dtype)
+    if os.environ.get("MUMPY_DAP_FORM") == "strided":  # ab_bench "dapstrided"
+        acc = x[..., 0::kk]
+        for m in range(1, kk):
+            acc = acc + x[..., m::kk]
+        return acc * jnp.asarray(1.0 / kk, x.dtype)
+    # out[..., t] = mean(x[..., t*kk:(t+1)*kk]): a contiguous channel-block
+    # mean.  Lane-STRIDED slices (x[..., m::kk]) lower to mini-gather-slice on
+    # TPU (1.2 ms/step of the batch-32 serving trace at the full-res DAP); the
+    # tiny dense averaging matmul stays on the MXU and fuses with neighbors.
+    return x @ jnp.asarray(_block_mean_matrix(x.shape[-1], kk), x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_mean_matrix(c: int, kk: int):
+    import numpy as np
+
+    p = np.zeros((c, c // kk), dtype=np.float32)
+    p[np.arange(c), np.arange(c) // kk] = 1.0 / kk
+    return p

@@ -94,6 +94,28 @@ def window_layout_perm(
     return inv_src[dst]
 
 
+@functools.lru_cache(maxsize=None)
+def window_layout_perm_padded(
+    h: int, w: int, window: int, src_shift: int, dst_shift: int, npad: int
+) -> np.ndarray:
+    """:func:`window_layout_perm` lifted to a sublane-padded window layout.
+
+    A padded scan carry keeps windows as ``(B*nW, npad, C)`` rows (``npad`` the
+    sublane-rounded window area) so the fused block kernel's per-block pad /
+    slice disappears.  The lifted permutation moves the ``n`` valid rows of
+    every window exactly as :func:`window_layout_perm` and maps each pad row to
+    itself — pad-row garbage never crosses into valid rows (the kernel also
+    masks pad KEY columns, so it never crosses inside attention either).
+    """
+    n = window * window
+    perm = window_layout_perm(h, w, window, src_shift, dst_shift)
+    nw = perm.size // n
+    lifted = np.arange(nw * npad, dtype=np.int32)
+    src_w, src_i = perm // n, perm % n
+    lifted.reshape(nw, npad)[:, :n] = (src_w * npad + src_i).reshape(nw, n)
+    return lifted
+
+
 def partition_tokens(x: jnp.ndarray, gh: int, gw: int, window: int, shift: int) -> jnp.ndarray:
     """(B, gh*gw, C) image tokens -> (B*nW, window^2, C) window-major tokens of
     the ``roll(-shift)`` layout.

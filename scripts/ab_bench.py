@@ -68,13 +68,23 @@ def main():
         os.environ["MUMPY_CVA_KERNEL_MIN_C"] = "192" if "cvawide" in tokens else "0"
         # "nodedup" reverts the CVA offset-branch ratio dedup for this variant
         os.environ["MUMPY_CVA_OFFSET_DEDUP"] = "0" if "nodedup" in tokens else "1"
+        # "dapstrided" reverts the DAP channel-block mean to strided slices
+        if "dapstrided" in tokens:
+            os.environ["MUMPY_DAP_FORM"] = "strided"
+        else:
+            os.environ.pop("MUMPY_DAP_FORM", None)
+        # "padcarry" opts into the padded (sublane-rounded) window scan carry
+        # (measured slower at batch 32 — default off, see encoder.py)
+        os.environ["MUMPY_PADDED_CARRY"] = "1" if "padcarry" in tokens else "0"
         if "bigtiles" in tokens:  # 2MB per-buffer tile cap (default 768KB)
             os.environ["MUMPY_PER_BUF_CAP_KB"] = "2048"
         else:
             os.environ.pop("MUMPY_PER_BUF_CAP_KB", None)
         sites = ",".join(t for t in tokens
                          if t not in ("nounroll", "slowdec", "cvawide",
-                                      "bigtiles", "nodedup")) or "none"
+                                      "bigtiles", "nodedup", "dapstrided",
+                                      "padcarry"))\
+            or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
             block or args.fused_block or "auto"
