@@ -68,12 +68,12 @@ class SwinDAttention(nn.Module):
         h = self.num_heads
         hd = c // h
 
-        # tile queries: x1r[k] = x1[k % B1] (torch ``repeat`` order, ``:330``)
-        x1r = jnp.tile(x1, (ratio, 1, 1))
-
-        fused = self._fused_call(x1, x1r, x2, b1, ratio, deterministic)
+        fused = self._fused_call(x1, x2, b1, ratio, deterministic)
         if fused is not None:
             return fused
+
+        # tile queries: x1r[k] = x1[k % B1] (torch ``repeat`` order, ``:330``)
+        x1r = jnp.tile(x1, (ratio, 1, 1))
 
         # the ratio copies of the tiled queries are identical, so the offset
         # branch (proj_q + 5x5 depthwise chain) runs on the UNTILED windows and
@@ -141,7 +141,7 @@ class SwinDAttention(nn.Module):
         pos = off + jnp.asarray(_reference_points(ws, ws), off.dtype)
         return q, pos
 
-    def _fused_call(self, x1, x1r, x2, b1: int, ratio: int,
+    def _fused_call(self, x1, x2, b1: int, ratio: int,
                     deterministic: bool):
         """Dispatch the deformable CVA's sampling+attention to the fused kernel.
 
@@ -149,8 +149,10 @@ class SwinDAttention(nn.Module):
         OFFSET branch stays in XLA (conv-shaped work XLA compiles well — an
         in-kernel formulation was VPU-bound, see ops/pallas/cva.py); the same
         flax submodules are reused by name so parameters are shared with the
-        XLA path.  The ratio fold and the proj_out BIAS are applied here (the
-        reference folds BEFORE projecting, ``deformableAttention.py:394-399``).
+        XLA path.  The ratio fold happens INSIDE the kernel (VMEM-accumulated
+        across the minor grid dim); only the proj_out BIAS is applied here,
+        post-fold (the reference folds BEFORE the bias,
+        ``deformableAttention.py:394-399``).
         """
         import os
 
@@ -158,7 +160,7 @@ class SwinDAttention(nn.Module):
         sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
         if sites == "none" or (sites != "all" and "cva" not in sites.split(",")):
             return None
-        r, n, c = x1r.shape
+        _, n, c = x1.shape
         if not (
             deterministic
             and self.offset_range_factor > 0  # kernel bakes in the tanh bound
@@ -194,29 +196,23 @@ class SwinDAttention(nn.Module):
             prepared = compute()
 
         # ---- offset branch in XLA (shared helper = shared submodules/params) ----
-        # run it on the UNTILED queries (the ratio copies are identical — see
-        # __call__) and tile only the tiny per-group coordinate planes.
+        # Always on the UNTILED queries here: the ratio copies are identical
+        # and the kernel re-reads the untiled query/coord blocks per copy via
+        # index-map arithmetic (no jnp.tile, no 3x pre-fold output — the
+        # ratio fold accumulates inside the kernel).  x2 stays FULL-WIDTH;
+        # per-group access is a lane slice inside the kernel.
         ws = self.window
         g = self.n_groups
-        gc = c // g
-        if ratio > 1 and _offset_dedup_enabled():
-            _, pos1 = self._query_and_positions(x1)  # (b1*g, ws, ws, 2)
-            pos1 = pos1.reshape(b1, g, n, 2).transpose(1, 0, 2, 3)
-            pos = jnp.tile(pos1, (1, ratio, 1, 1)).astype(jnp.float32)
-        else:
-            _, pos = self._query_and_positions(x1r)
-            pos = pos.reshape(r, g, n, 2).transpose(1, 0, 2, 3)
-            pos = pos.astype(jnp.float32)
+        _, pos = self._query_and_positions(x1)  # (b1*g, ws, ws, 2)
+        pos = pos.reshape(b1, g, n, 2).transpose(1, 0, 2, 3).astype(jnp.float32)
         gy = (pos[..., 0] + 1.0) * 0.5 * (ws - 1)  # absolute pixel coords
         gx = (pos[..., 1] + 1.0) * 0.5 * (ws - 1)
 
-        x2g = x2.reshape(r, n, g, gc).transpose(2, 0, 1, 3)
         out = pallas_cva.fused_cva_prepared(
-            x1r, x2g, gy, gx, prepared,
-            groups=g, heads=self.num_heads, ws=ws,
+            x1, x2, gy, gx, prepared,
+            groups=g, heads=self.num_heads, ws=ws, ratio=ratio,
             interpret=pallas_sb.attention_mode() == "interpret",
         )
-        out = out.reshape(b1, ratio, n, c).sum(axis=1)
         return out + prepared["bproj"].astype(out.dtype)
 
 

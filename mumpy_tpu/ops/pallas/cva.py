@@ -21,8 +21,10 @@ FULL-WIDTH through VMEM scratch and per-group/per-head access is lane-sliced
 ref loads.  Bilinear sampling builds (T, N, N) matrices from per-axis weights
 via static one-hot expanders, keeping the gather on the MXU
 (zero-padding semantics match ops/grid_sample.py).  The ``ratio`` query tiling
-and output fold (``:330,394-399``) stay outside (the reference folds BEFORE
-the output projection's bias, so the bias is added post-fold by the caller).
+(``:330``) is index-map arithmetic (the copies are identical) and the output
+fold (``:394-399``) accumulates in VMEM across the minor grid dim; only the
+proj_out bias stays outside (the reference folds BEFORE the bias, so
+sum-then-bias != bias-then-sum).
 """
 
 from __future__ import annotations
@@ -75,11 +77,11 @@ def _axis_weights(coord, ws: int):
 
 
 def _cva_kernel(
-    x1_ref, x2g_ref, gy_ref, gx_ref,
+    x1_ref, x2_ref, gy_ref, gx_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wproj_ref,
     ey_ref, ex_ref,
     out_ref, q_scr, s_scr, k_scr, v_scr, o_scr, sc_scr,
-    *, groups, heads, n_valid, ws, scale,
+    *, groups, heads, n_valid, ws, scale, ratio,
 ):
     tile, npad, c = x1_ref.shape
     gc = c // groups
@@ -99,6 +101,9 @@ def _cva_kernel(
     ) + bq_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, c)
 
     # ---- per-group bilinear sampling of the partner at the given coords ----
+    # x2 arrives FULL-WIDTH (tile, npad, c); each group is a lane-sliced REF
+    # load (gc is a multiple of 32) — the caller-side (g, R, N, gc) transpose
+    # this replaces was ~0.7 ms/step of the batch-32 trace at stage 0.
     for g in range(groups):
         wy = _axis_weights(gy_ref[g].astype(jnp.float32), ws)  # (tile, npad, ws)
         wx = _axis_weights(gx_ref[g].astype(jnp.float32), ws)
@@ -110,7 +115,8 @@ def _cva_kernel(
             (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )  # (tile, npad_q, npad_src)
         s_scr[:, :, g * gc:(g + 1) * gc] = jax.lax.dot_general(
-            wmat.astype(dtype), x2g_ref[g], (((2,), (1,)), ((0,), (0,))),
+            wmat.astype(dtype), x2_ref[:, :, g * gc:(g + 1) * gc],
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype)
 
@@ -150,11 +156,20 @@ def _cva_kernel(
     proj = jax.lax.dot_general(
         o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dtype).reshape(tile, npad, c)
     # proj_out BIAS is applied by the caller AFTER the ratio fold — the
     # reference projects the folded sum (``deformableAttention.py:394-399``),
     # and sum-then-bias != bias-then-sum when ratio > 1.
-    out_ref[:] = proj.astype(dtype).reshape(tile, npad, c)
+    # The RATIO FOLD itself happens HERE: the reference's ``(b t)`` rearrange
+    # groups ``ratio`` CONSECUTIVE pre-fold rows (``:394-395`` — j-major, a
+    # faithful quirk: j%b1-indexed queries make the groups mix queries), so
+    # the fold is a leading-dim segmented sum within the tile and the out
+    # block is ``tile//ratio`` rows — the ratio-times-larger pre-fold tensor
+    # is never materialized in HBM.
+    if ratio == 1:
+        out_ref[:] = proj
+    else:
+        out_ref[:] = proj.reshape(tile // ratio, ratio, npad, c).sum(axis=1)
 
 
 def prepare_cva_weights(weights, *, groups: int, heads: int, ws: int):
@@ -178,60 +193,87 @@ def prepare_cva_weights(weights, *, groups: int, heads: int, ws: int):
 _WL_ORDER = ("wq", "bq", "wk", "bk", "wv", "bv", "wproj", "ey", "ex")
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "heads", "ws", "interpret"))
-def fused_cva_prepared(x1, x2g, gy, gx, prepared, *, groups: int, heads: int,
-                       ws: int, interpret: bool = False):
-    """x1: (R, N, C) tiled query windows; x2g: (g, R, N, gc) grouped partner
-    windows; gy/gx: (g, R, N) absolute sample coordinates (pixels, can be
-    fractional/out-of-range — zeros padding).  Returns the pre-``ratio``-fold
-    attention output (R, N, C) WITHOUT the output-projection bias."""
-    r, n, c = x1.shape
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "heads", "ws", "ratio", "interpret"))
+def fused_cva_prepared(x1, x2, gy, gx, prepared, *, groups: int, heads: int,
+                       ws: int, ratio: int = 1, interpret: bool = False):
+    """x1: (B1, N, C) UNTILED query windows; x2: (ratio*B1, N, C) full-width
+    partner windows (row ``j`` pairs with query ``j % B1`` — ``jnp.tile``
+    order, tiled here); gy/gx: (g, B1, N) absolute sample coordinates
+    (pixels, can be fractional/out-of-range — zeros padding).  Returns the
+    ratio-FOLDED attention output (B1, N, C) WITHOUT the output-projection
+    bias.
+
+    x2 arrives FULL-WIDTH (per-group access is a lane slice in the kernel —
+    replaces a ~0.7 ms/step caller-side (g, R, N, gc) transpose), and the
+    reference's j-major ``(b t)`` fold (``deformableAttention.py:394-395``:
+    ``ratio`` CONSECUTIVE pre-fold rows sum into one output row) runs as a
+    segmented sum INSIDE the tile, so the ratio-times-larger pre-fold tensor
+    never exists in HBM.  The query/coord tiling itself stays outside (pad
+    then ``jnp.tile`` — one fused XLA copy): a modulo block map can't express
+    it because the j%B1 wrap is not tile-aligned when ratio ∤ B1."""
+    b1, n, c = x1.shape
+    r = ratio * b1
     hd = c // heads
     scale = hd**-0.5
     npad = -(-n // 8) * 8
     itemsize = prepared["wq"].dtype.itemsize
+    # the in-kernel fold needs ratio | tile (whole groups per block); fall
+    # back to the outside (XLA reshape-sum) fold when r has no such divisor
+    # (tiny test shapes) — _choose_tile requires multiple_of | r.
+    mult = 8 * ratio // int(np.gcd(8, ratio))
+    fold_in_kernel = ratio == 1 or r % mult == 0
     tile, _, _ = _choose_tile(
         r, 1, npad, c, heads, itemsize, n_act_bufs=3,
         scratch_bytes_per_window=(npad * 5 * c * itemsize
                                   + heads * npad * npad * 4),
-        multiple_of=8,  # the (g, tile, npad) coord blocks put tile second-minor
+        multiple_of=mult if fold_in_kernel else 8,
     )
 
     x1p = jnp.pad(x1, ((0, 0), (0, npad - n), (0, 0)))
-    x2p = jnp.pad(x2g, ((0, 0), (0, 0), (0, npad - n), (0, 0)))
     gyp = jnp.pad(gy, ((0, 0), (0, 0), (0, npad - n)))
     gxp = jnp.pad(gx, ((0, 0), (0, 0), (0, npad - n)))
+    if ratio > 1:  # pad-then-tile: XLA fuses both into one copy
+        x1p = jnp.tile(x1p, (ratio, 1, 1))
+        gyp = jnp.tile(gyp, (1, ratio, 1))
+        gxp = jnp.tile(gxp, (1, ratio, 1))
+    x2p = jnp.pad(x2, ((0, 0), (0, npad - n), (0, 0)))
     wl = [prepared[k] for k in _WL_ORDER]
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
 
+    out_rows = b1 if fold_in_kernel else r
+    out_tile = tile // ratio if fold_in_kernel else tile
     flops = r * n * c * (8 * c + 6 * n)
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=3 * r * npad * c * x1.dtype.itemsize,
+        bytes_accessed=(2 * r + out_rows) * npad * c * x1.dtype.itemsize,
         transcendentals=r * n * n,
     )
     coord_spec = pl.BlockSpec(
         (groups, tile, npad), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _cva_kernel, groups=groups, heads=heads, n_valid=n, ws=ws, scale=scale,
+            _cva_kernel, groups=groups, heads=heads, n_valid=n, ws=ws,
+            scale=scale, ratio=ratio if fold_in_kernel else 1,
         ),
-        out_shape=jax.ShapeDtypeStruct((r, npad, c), x1.dtype),
+        out_shape=jax.ShapeDtypeStruct((out_rows, npad, c), x1.dtype),
         grid=(r // tile,),
         in_specs=[
-            pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (groups, tile, npad, c // groups), lambda i: (0, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             coord_spec, coord_spec,
         ] + [full(a) for a in wl],
-        out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((out_tile, npad, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tile, npad, c), x1.dtype) for _ in range(5)]
         + [pltpu.VMEM((heads * tile, npad, npad), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
         compiler_params=kernel_compiler_params(),
     )(x1p, x2p, gyp, gxp, *wl)
+    if not fold_in_kernel and ratio > 1:
+        out = out.reshape(b1, ratio, npad, c).sum(axis=1)
     return out[:, :n, :]

@@ -288,8 +288,13 @@ def test_cross_swin_block_fused_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=5e-4, rtol=5e-3)
 
 
-@pytest.mark.parametrize("ratio,c,heads", [(1, 24, 3), (3, 24, 2), (1, 48, 4)])
-def test_swin_dattention_fused_matches_xla(ratio, c, heads, monkeypatch):
+@pytest.mark.parametrize("ratio,c,heads,b1",
+                         [(1, 24, 3, 2), (3, 24, 2, 2), (1, 48, 4, 2),
+                          # b1=8, ratio=3 -> r=24 is divisible by lcm(8,3)=24,
+                          # so the IN-KERNEL segmented ratio fold engages
+                          # (b1=2 shapes exercise the outside-fold fallback)
+                          (3, 24, 2, 8)])
+def test_swin_dattention_fused_matches_xla(ratio, c, heads, b1, monkeypatch):
     """Fused deformable-CVA kernel (offsets -> bilinear sample -> attention ->
     ratio fold) matches the XLA SwinDAttention path."""
     monkeypatch.setenv("MUMPY_FUSED_ATTN_SITES", "all")
@@ -297,7 +302,7 @@ def test_swin_dattention_fused_matches_xla(ratio, c, heads, monkeypatch):
     from mumpy_tpu.ops.pallas import swin_block as psb
 
     rng = np.random.default_rng(13)
-    b1, ws = 2, 7
+    ws = 7
     n = ws * ws
     x1 = jnp.asarray(rng.standard_normal((b1, n, c)), jnp.float32)
     x2 = jnp.asarray(rng.standard_normal((b1 * ratio, n, c)), jnp.float32)
