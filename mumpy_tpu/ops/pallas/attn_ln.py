@@ -108,7 +108,11 @@ def prepare_attn_weights(weights, mask_bias, *, heads: int, r: int):
     )
 
     mb = mask_bias.astype(wdtype)
-    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
+    # key-PAD columns carry -1e30: the additive term doubles as the pad mask
+    # (see swin_block.prepare_weights / _hoisted_scores)
+    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, 0)))
+    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, 0), (0, npad - n)),
+                 constant_values=-1e30)
     if p_w > 1 and reps > 1:
         mb = jnp.tile(mb, (reps, 1, 1, 1))
     mb = mb.transpose(1, 0, 2, 3)  # (H, tile_w or 1, npad, npad)

@@ -90,8 +90,6 @@ def _cva_kernel(
     dtype = x1.dtype
     x1_2d = x1.reshape(tile * npad, c)
 
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
-
     # full-width q projection; 3D scratches make every per-head/per-group
     # access a pure lane-sliced REF load/store (see swin_block._block_kernel —
     # measured ~9% kernel win vs the 2D layout)
@@ -135,14 +133,20 @@ def _cva_kernel(
     # over the (heads*tile, npad, npad) scores scratch; per-head softmaxes are
     # VPU-dispatch overhead, see swin_block._hoisted_scores: -22% kernel),
     # then one full-width output projection ----
+    # key-pad masking folds into the score STORE (one fused add per head on a
+    # (1, npad) row constant) instead of a separate full masked-where pass
+    # over the (heads*tile, npad, npad) scratch (see swin_block
+    # ._hoisted_scores for the measurement).
+    kmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1) < n_valid, 0.0, -1e30)
     for hh in range(heads):
         q3 = q_scr[:, :, hh * hd:(hh + 1) * hd]
         k3 = k_scr[:, :, hh * hd:(hh + 1) * hd]
         sc_scr[hh * tile:(hh + 1) * tile] = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale
-    sall = jnp.where(key_ids[None] < n_valid, sc_scr[:], -1e30)
+        ) * scale + kmask[None]
+    sall = sc_scr[:]
     m = jnp.max(sall, axis=-1, keepdims=True)
     e = jnp.exp(sall - m)
     sc_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)

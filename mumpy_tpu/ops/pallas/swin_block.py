@@ -124,12 +124,15 @@ def _hoisted_scores(qkv_scr, mb_ref, s_scr, *, heads, n_valid, scale,
     """All-head masked attention probabilities via ONE softmax.
 
     Writes per-head ``q @ k^T * scale + mb`` into the (heads*tile, npad, npad)
-    f32 scratch ``s_scr``, then runs a single masked softmax over it in place.
+    f32 scratch ``s_scr``, then runs a single softmax over it in place.
     Per-head softmaxes are pure VPU-dispatch overhead — hoisting them measured
     -22% whole-kernel time at the stage-2 view3 shape (scripts/kernel_probe.py:
-    857 -> 673 us; "no_softmax" is 670).  Callers read head ``h``'s
-    probabilities as ``s_scr[h*tile:(h+1)*tile]``.
+    857 -> 673 us; "no_softmax" is 670).  Key-pad masking rides in ``mb``
+    (columns >= n are pre-filled with -1e30; ``n_valid`` is kept only for
+    signature stability).  Callers read head ``h``'s probabilities as
+    ``s_scr[h*tile:(h+1)*tile]``.
     """
+    del n_valid
     tile, npad, three_c = qkv_scr.shape
     c = three_c // 3 if k_off is None else three_c  # packed qkv vs separate
     if k_off is None:
@@ -142,8 +145,12 @@ def _hoisted_scores(qkv_scr, mb_ref, s_scr, *, heads, n_valid, scale,
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale + mb_ref[h].astype(jnp.float32)
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
-    sall = jnp.where(key_ids[None] < n_valid, s_scr[:], -1e30)
+    # no masked-where pass here: ``mb`` arrives with its key-PAD columns
+    # pre-filled with -1e30 (see the three mb pad sites), so the additive term
+    # already masks them — exp(-1e30 - m) is exactly 0.  The where was a full
+    # extra read+write over the (heads*tile, npad, npad) scratch (~130us/call
+    # at the stage-0 view3 shape, kernel_probe).
+    sall = s_scr[:]
     m = jnp.max(sall, axis=-1, keepdims=True)
     e = jnp.exp(sall - m)
     s_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -332,7 +339,13 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
     # the activation dtype too, and halving it doubles the tile the VMEM budget
     # admits for shifted blocks (the kernel still accumulates scores in f32)
     mb = mask_bias.astype(wdtype)
-    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
+    # key-PAD columns carry -1e30 so the additive term doubles as the pad
+    # mask — _hoisted_scores then needs no masked-where pass (a full extra
+    # read+write over the scores scratch).  Pad QUERY rows stay 0 (their
+    # softmax output is garbage confined to pad rows and sliced off).
+    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, npad - n), (0, 0)))
+    mb = jnp.pad(mb, ((0, 0), (0, 0), (0, 0), (0, npad - n)),
+                 constant_values=-1e30)
     # p_w == 1 (unshifted): keep one row and let the kernel broadcast — the
     # result is then independent of the serving batch size
     if p_w > 1 and reps > 1:

@@ -347,7 +347,13 @@ def _tile_and_mb(r, p_w, npad, c, heads, itemsize, m, *, bwd=False):
 def _expand_mb(mb, npad, tile, p_w, wdtype):
     """(P, H, n, n) additive term -> kernel layout (H, rows_or_1, npad, npad)."""
     n = mb.shape[-1]
-    mbp = jnp.pad(mb.astype(wdtype), ((0, 0), (0, 0), (0, npad - n), (0, npad - n)))
+    # key-PAD columns carry -1e30: the additive term doubles as the pad mask
+    # for both the forward and the recompute-in-backward softmaxes (see
+    # swin_block._hoisted_scores); pad-column probabilities are exactly 0, so
+    # the softmax JVP/VJP math is untouched.
+    mbp = jnp.pad(mb.astype(wdtype), ((0, 0), (0, 0), (0, npad - n), (0, 0)))
+    mbp = jnp.pad(mbp, ((0, 0), (0, 0), (0, 0), (0, npad - n)),
+                  constant_values=-1e30)
     if p_w > 1 and tile > p_w:
         mbp = jnp.tile(mbp, (tile // p_w, 1, 1, 1))
     return mbp.transpose(1, 0, 2, 3)
