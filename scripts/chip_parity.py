@@ -27,8 +27,16 @@ import jax.flatten_util
 import jax.numpy as jnp
 
 
-def forward_pair(model, params_f32, clip, dtype, sites):
-    """Logits with serving kernels on (given sites) vs pure XLA."""
+def forward_outs(model, params_f32, clip, dtype, sites, with_oracle=False):
+    """Logits with serving kernels on (given sites) vs pure XLA.
+
+    When ``with_oracle`` is set (f32 only), also runs the XLA path under
+    ``jax.default_matmul_precision('highest')``.  On TPU the MXU runs
+    default-precision f32 matmuls in reduced-precision passes, so the honest
+    f32 check is *calibrated*: both the kernel path and the default-XLA path
+    are compared against the highest-precision oracle, and the kernel must not
+    be materially further from it than default XLA is.
+    """
     import mumpy_tpu.ops.pallas.swin_block as sb
     from mumpy_tpu.utils.serving import prepare_for_inference
 
@@ -39,23 +47,31 @@ def forward_pair(model, params_f32, clip, dtype, sites):
             params)
     clip = clip.astype(dtype)
 
+    variants = [("kernel", None, sites, None), ("xla", "off", "none", None)]
+    if with_oracle:
+        variants.append(("oracle", "off", "none", "highest"))
+
     outs = {}
-    for name, mode, env_sites in (
-        ("kernel", None, sites), ("xla", "off", "none"),
-    ):
+    for name, mode, env_sites, prec in variants:
         os.environ["MUMPY_FUSED_ATTN_SITES"] = env_sites
         sb.set_mode(mode)
         try:
             p = (prepare_for_inference(model, params, clip)
                  if name == "kernel" else params)
-            outs[name] = np.asarray(
-                jax.jit(lambda p, c: model.apply(p, c, deterministic=True))(
-                    p, clip
-                ).astype(jnp.float32))
+
+            def fwd(p, c):
+                return model.apply(p, c, deterministic=True)
+
+            if prec is not None:
+                with jax.default_matmul_precision(prec):
+                    out = jax.jit(fwd)(p, clip)
+            else:
+                out = jax.jit(fwd)(p, clip)
+            outs[name] = np.asarray(out.astype(jnp.float32))
         finally:
             sb.set_mode(None)
             os.environ.pop("MUMPY_FUSED_ATTN_SITES", None)
-    return outs["kernel"], outs["xla"]
+    return outs
 
 
 def train_pair(cfg, batch):
@@ -104,10 +120,26 @@ def main():
 
     fail = False
     for dtype, tol in ((jnp.float32, 3e-3), (jnp.bfloat16, 1e-1)):
-        a, b = forward_pair(model, params, clip, dtype, "cross,cva")
+        outs = forward_outs(model, params, clip, dtype, "cross,cva",
+                            with_oracle=(dtype == jnp.float32))
+        a, b = outs["kernel"], outs["xla"]
         diff = np.max(np.abs(a - b))
         rel = diff / max(np.max(np.abs(b)), 1e-9)
-        ok = diff < tol
+        if "oracle" in outs:
+            # calibrated check: the MXU's default-precision f32 matmuls are
+            # reduced-precision passes, so raw kernel-vs-xla diff sits at that
+            # shared noise floor.  Require the kernel to be no further from
+            # the highest-precision oracle than default XLA is (3x headroom
+            # for reassociation), falling back to the absolute tol when the
+            # floor is genuinely tiny.
+            err_x = np.max(np.abs(outs["xla"] - outs["oracle"]))
+            err_k = np.max(np.abs(outs["kernel"] - outs["oracle"]))
+            ok = err_k < max(3.0 * err_x, tol)
+            print(f"forward float32 (vs highest-precision oracle): "
+                  f"xla-default err {err_x:.2e}, kernel err {err_k:.2e} "
+                  f"{'OK' if ok else 'FAIL'}", flush=True)
+        else:
+            ok = diff < tol
         fail |= not ok
         print(f"forward {jnp.dtype(dtype).name}: max|kernel-xla| {diff:.2e} "
               f"(rel {rel:.2e}, logits range {np.abs(b).max():.2f}) "
