@@ -33,6 +33,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-seq_dir3", dest="seq_dir3", default=None)
     p.add_argument("-annot_dir", dest="annot_dir", default=None)
     p.add_argument("-db_info", dest="db_info", default=None)
+    p.add_argument("-lmdb_index", dest="lmdb_index", default=None,
+                   help="LMDB sequence->frame-list index (dataloaders/base.py:55-60)")
     # optimization — defaults follow the PUBLISHED RECIPE (``scripts/
     # train_davis.sh``), not the reference argparse defaults (which are 'adam'
     # and an lr_cnn of 0.9 that no script uses)
@@ -99,6 +101,8 @@ def build_configs(args: argparse.Namespace):
         overrides["annotations"] = args.annot_dir
     if args.db_info:
         overrides["db_info"] = args.db_info
+    if args.lmdb_index:
+        overrides["lmdb_index"] = args.lmdb_index
     data_cfg = base(**overrides)
 
     opt_cfg = OptimConfig(

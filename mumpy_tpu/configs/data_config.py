@@ -45,6 +45,11 @@ class DataConfig:
     # resize: ~1.8x faster, pixels differ slightly from full-decode+resize —
     # OFF by default for reference parity; safe to enable for training.
     fast_decode: bool = False
+    # optional LMDB frame-list index (``dataloaders/base.py:55-60``): each key
+    # is a sequence name, the value a '|'-joined frame file list.  Replaces the
+    # per-sequence directory glob (one mmap'd read instead of a dirent scan) on
+    # network filesystems with slow metadata ops.  None = glob the directories.
+    lmdb_index: Optional[str] = None
 
     @property
     def num_streams(self) -> int:

@@ -53,14 +53,50 @@ def list_frames(seq_dir: str, ext: str) -> List[str]:
     return files
 
 
+class LmdbFrameIndex:
+    """Sequence-name -> frame-file-list index stored in LMDB.
+
+    Counterpart of the reference's LMDB branch (``dataloaders/base.py:55-60``):
+    keys are sequence basenames, values '|'-joined frame filenames.  Only the
+    *listing* comes from the DB — pixel data is still read from the filesystem,
+    exactly as upstream.  Gated on the optional ``lmdb`` package.
+    """
+
+    def __init__(self, path: str):
+        try:
+            import lmdb  # optional dependency, not in the base image
+        except ImportError as e:  # pragma: no cover - exercised via stub in tests
+            raise ImportError(
+                "DataConfig.lmdb_index requires the 'lmdb' package; install it "
+                "or leave lmdb_index=None to list frames from the filesystem"
+            ) from e
+        self._env = lmdb.open(
+            path, readonly=True, lock=False, readahead=False, meminit=False
+        )
+
+    def list_frames(self, seq_dir: str) -> List[str]:
+        key = os.path.basename(seq_dir)
+        with self._env.begin() as txn:
+            raw = txn.get(key.encode())
+        if raw is None:
+            return []
+        return [os.path.join(seq_dir, f) for f in raw.decode().split("|")]
+
+
 def build_clips(cfg: DataConfig, split: str) -> List[Clip]:
     """Sliding centered windows with edge clamping (``universaldataloader.py:41-48``)."""
     phase = split
     seqs = read_sequences(cfg.dataset, cfg.sequences, cfg.db_info, cfg.year, phase)
     k = cfg.length_clip // 2
     clips: List[Clip] = []
+    index = LmdbFrameIndex(cfg.lmdb_index) if cfg.lmdb_index else None
     for s in seqs:
-        files = list_frames(os.path.join(cfg.sequences, s.name), cfg.frame_ext)
+        seq_dir = os.path.join(cfg.sequences, s.name)
+        files = (
+            index.list_frames(seq_dir)
+            if index is not None
+            else list_frames(seq_dir, cfg.frame_ext)
+        )
         n = len(files)
         if n == 0:
             continue

@@ -157,3 +157,51 @@ def test_pscc_matches_pil(variant):
     else:
         ref = img.rotate(90 * (variant - 4), expand=True).transpose(Image.FLIP_TOP_BOTTOM)
     np.testing.assert_array_equal(_pscc(arr, variant), np.asarray(ref))
+
+
+def test_lmdb_frame_index(fake_davis, monkeypatch):
+    """LMDB sequence->frame-list index parity with the filesystem scan
+    (``dataloaders/base.py:55-60``), via a stubbed ``lmdb`` module."""
+    import dataclasses
+    import sys
+    import types
+
+    # build the index content the reference's packing scripts would produce:
+    # key = sequence basename, value = '|'-joined frame filenames
+    fs_clips = build_clips(fake_davis, "train")
+    db = {}
+    for name in {c.seq_name for c in fs_clips}:
+        seq_dir = os.path.join(fake_davis.sequences, name)
+        db[name.encode()] = "|".join(sorted(os.listdir(seq_dir))).encode()
+
+    class _Txn:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def get(self, key):
+            return db.get(key)
+
+    class _Env:
+        def begin(self):
+            return _Txn()
+
+    stub = types.ModuleType("lmdb")
+    stub.open = lambda path, **kw: _Env()
+    monkeypatch.setitem(sys.modules, "lmdb", stub)
+
+    cfg = dataclasses.replace(fake_davis, lmdb_index="/nonexistent/index.lmdb")
+    lmdb_clips = build_clips(cfg, "train")
+    assert lmdb_clips == fs_clips
+
+
+def test_lmdb_index_requires_package(fake_davis, monkeypatch):
+    import dataclasses
+    import sys
+
+    monkeypatch.setitem(sys.modules, "lmdb", None)  # force ImportError
+    cfg = dataclasses.replace(fake_davis, lmdb_index="/nonexistent/index.lmdb")
+    with pytest.raises(ImportError, match="lmdb"):
+        build_clips(cfg, "train")
