@@ -33,8 +33,8 @@ from ..ops.window import partition_tokens, unpartition_tokens, window_partition
 from .deformable import CVAModule
 from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
                    drop_path, fused_attn_branch, fused_mlp_tail,
-                   fused_mlp_tail_train, relative_position_index, trunc_init,
-                   window_attend)
+                   fused_mlp_tail_train, fused_site_enabled,
+                   relative_position_index, trunc_init, window_attend)
 
 
 class PatchEmbed3D(nn.Module):
@@ -493,12 +493,13 @@ class GlobalVitBody(nn.Module):
     mlp_dim: int
     drop: float = 0.0
     deterministic: bool = True
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x, dp_rate):
         x = VitBlock(
             self.dim, self.num_heads, self.mlp_dim, drop=self.drop, name="block"
-        )(x, self.deterministic, dp_rate)
+        )(x, self.deterministic, dp_rate, time_major=self.time_major)
         return x, None
 
 
@@ -551,8 +552,22 @@ class MumpyEncoder(nn.Module):
         )(merged)  # (B, maxT, n, 768)
 
         b, t, n, c = merged.shape
-        # vmap over spatial tokens == fold tokens into batch (``:741``)
-        g = merged.transpose(0, 2, 1, 3).reshape(b * n, t, c)
+        # TIME-MAJOR layout for the specialized n=3 whole-layer kernel
+        # (ops/pallas/vit3.py): the scan carry is three full-width (B*n, C)
+        # temporal slabs, so the 12-layer stack runs with zero transposes and
+        # the final channel concat is a lane concat.  Off (token-major) when
+        # training or when the kernel is gated off.
+        time_major = (
+            deterministic
+            and t == 3
+            and pallas_sb.attention_mode() != "off"
+            and fused_site_enabled("vit3")
+        )
+        if time_major:
+            g = merged.transpose(1, 0, 2, 3).reshape(t, b * n, c)
+        else:
+            # vmap over spatial tokens == fold tokens into batch (``:741``)
+            g = merged.transpose(0, 2, 1, 3).reshape(b * n, t, c)
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.global_encoder.num_layers)
         ScannedVit = nn.scan(
             GlobalVitBody,
@@ -568,12 +583,18 @@ class MumpyEncoder(nn.Module):
         g, _ = ScannedVit(
             dim=c, num_heads=cfg.global_encoder.num_heads,
             mlp_dim=cfg.global_encoder.mlp_dim, drop=cfg.drop_rate,
-            deterministic=deterministic, name="global_blocks",
+            deterministic=deterministic, time_major=time_major,
+            name="global_blocks",
         )(g, jnp.asarray(dpr, jnp.float32))
-        g = g.reshape(b, n, t, c)
-        # concat temporal slices along channels (``:745``)
-        g = g.transpose(0, 2, 1, 3)  # (B, T, n, C)
-        feats = jnp.concatenate([g[:, i] for i in range(t)], axis=-1)  # (B, n, T*C)
+        if time_major:
+            # concat temporal slices along channels (``:745``) — already slabs
+            feats = jnp.concatenate([g[i] for i in range(t)], axis=-1)
+            feats = feats.reshape(b, n, t * c)
+        else:
+            g = g.reshape(b, n, t, c)
+            # concat temporal slices along channels (``:745``)
+            g = g.transpose(0, 2, 1, 3)  # (B, T, n, C)
+            feats = jnp.concatenate([g[:, i] for i in range(t)], axis=-1)  # (B, n, T*C)
 
         # tokens -> spatial map (``models/encoder/encoder.py:16-17``)
         side = cfg.views[0].input_resolution[-1][0]

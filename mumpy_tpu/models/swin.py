@@ -33,6 +33,7 @@ from ..ops.pallas import swin_block_vjp as pallas_sbv
 from ..ops.pallas import ln_mlp as pallas_lm
 from ..ops.pallas import ln_mlp_vjp as pallas_lmv
 from ..ops.pallas import attn_ln as pallas_al
+from ..ops.pallas import vit3 as pallas_v3
 
 
 def fused_mlp_tail(module, x, dim: int, mlp_ratio: float, deterministic: bool):
@@ -588,7 +589,64 @@ class VitBlock(nn.Module):
     drop_path_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, dp_rate=None):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None,
+                 time_major: bool = False):
+        if time_major:
+            # TIME-MAJOR layout (3, R, C): the global encoder keeps its scan
+            # carry as three full-width temporal slabs so the specialized n=3
+            # whole-layer kernel (ops/pallas/vit3.py) runs with zero layout
+            # ops.  Fallback (init / training / kernel off): transpose to the
+            # token-major layout, run the standard body, transpose back —
+            # identical math, identical param tree.
+            out = self._vit3_call(x, deterministic)
+            if out is not None:
+                return out
+            return self._body(
+                x.transpose(1, 0, 2), deterministic, dp_rate
+            ).transpose(1, 0, 2)
+        return self._body(x, deterministic, dp_rate)
+
+    def _vit3_call(self, x, deterministic):
+        """Fused whole-layer n=3 kernel when eligible, else None."""
+        three, r, c = x.shape
+        if not (
+            three == 3
+            and deterministic
+            and pallas_sb.attention_mode() != "off"
+            and fused_site_enabled("vit3")
+            and self.has_variable("params", "norm1")
+        ):
+            return None
+        itemsize = self.variables["params"]["mlp"]["fc1"]["kernel"].dtype.itemsize
+        if not pallas_v3.supported(c, self.mlp_dim, self.num_heads, itemsize):
+            return None
+
+        def compute():
+            v = self.variables["params"]
+            weights = {
+                "ln1_scale": v["norm1"]["scale"], "ln1_bias": v["norm1"]["bias"],
+                "qkv_kernel": v["qkv"]["kernel"], "qkv_bias": v["qkv"]["bias"],
+                "proj_kernel": v["proj"]["kernel"], "proj_bias": v["proj"]["bias"],
+                "ln2_scale": v["norm2"]["scale"], "ln2_bias": v["norm2"]["bias"],
+                "fc1_kernel": v["mlp"]["fc1"]["kernel"],
+                "fc1_bias": v["mlp"]["fc1"]["bias"],
+                "fc2_kernel": v["mlp"]["fc2"]["kernel"],
+                "fc2_bias": v["mlp"]["fc2"]["bias"],
+            }
+            return pallas_v3.prepare_vit3_weights(weights, heads=self.num_heads)
+
+        if self.has_variable("prepared", "vit3"):
+            prepared = self.get_variable("prepared", "vit3")
+        elif self.is_mutable_collection("prepared"):
+            prepared = self.variable("prepared", "vit3", compute).value
+        else:
+            prepared = compute()
+        return pallas_v3.fused_vit3_prepared(
+            x, prepared, heads=self.num_heads,
+            interpret=pallas_sb.attention_mode() == "interpret",
+        )
+
+    def _body(self, x, deterministic: bool = True, dp_rate=None):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h

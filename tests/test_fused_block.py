@@ -322,3 +322,65 @@ def test_swin_dattention_fused_matches_xla(ratio, c, heads, b1, monkeypatch):
     finally:
         psb.set_mode(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4, rtol=5e-3)
+
+
+@pytest.mark.parametrize("dtype,r,c,heads", [
+    (jnp.float32, 20, 48, 4),    # no aligned tile divisor -> single grid step
+    (jnp.float32, 32, 48, 4),    # tiled grid
+    (jnp.bfloat16, 32, 128, 4),  # serving dtype
+])
+def test_vit3_time_major_kernel_matches_xla(monkeypatch, dtype, r, c, heads):
+    """Specialized n=3 whole-layer ViT kernel (ops/pallas/vit3.py) in the
+    time-major (3, R, C) layout matches the token-major XLA body."""
+    monkeypatch.setenv("MUMPY_FUSED_ATTN_SITES", "vit3")
+    from mumpy_tpu.models.swin import VitBlock
+    from mumpy_tpu.ops.pallas import swin_block as psb
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, r, c)), dtype)
+    blk = VitBlock(dim=c, num_heads=heads, mlp_dim=4 * c)
+    params = blk.init(jax.random.PRNGKey(0), x, time_major=True)
+    if dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    try:
+        psb.set_mode("off")
+        # fallback path == token-major body on the transposed carry
+        ref_tm = blk.apply(params, x, time_major=True)
+        ref = blk.apply(params, x.transpose(1, 0, 2))
+        np.testing.assert_array_equal(
+            np.asarray(ref_tm), np.asarray(ref.transpose(1, 0, 2)))
+        psb.set_mode("interpret")
+        got = blk.apply(params, x, time_major=True)
+    finally:
+        psb.set_mode(None)
+    tol = dict(atol=3e-4, rtol=3e-3) if dtype == jnp.float32 else \
+        dict(atol=6e-2, rtol=6e-2)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref_tm, np.float32), **tol)
+
+
+def test_encoder_time_major_vit3_matches_token_major(monkeypatch):
+    """Encoder-level plumbing: the time-major global-ViT layout (slab carry +
+    lane concat) produces the same features as the token-major path."""
+    from mumpy_tpu.configs.model_config import tiny_config
+    from mumpy_tpu.models.encoder import MumpyEncoder
+    from mumpy_tpu.ops.pallas import swin_block as psb
+
+    cfg = tiny_config()
+    model = MumpyEncoder(cfg)
+    rng = np.random.default_rng(12)
+    clip = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32)
+    monkeypatch.setenv("MUMPY_FUSED_ATTN_SITES", "none")
+    params = model.init(jax.random.PRNGKey(0), clip)
+    try:
+        psb.set_mode("off")
+        ref = model.apply(params, clip, deterministic=True)[0]
+        monkeypatch.setenv("MUMPY_FUSED_ATTN_SITES", "vit3")
+        psb.set_mode("interpret")
+        got = model.apply(params, clip, deterministic=True)[0]
+    finally:
+        psb.set_mode(None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
