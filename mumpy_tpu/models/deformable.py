@@ -19,6 +19,8 @@ Faithfully reproduced quirks of the reference:
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -27,7 +29,7 @@ import numpy as np
 from ..ops.grid_sample import grid_sample_bilinear
 from ..ops.pallas import cva as pallas_cva
 from ..ops.pallas import swin_block as pallas_sb
-from .swin import drop_path, gelu, trunc_init
+from .swin import drop_path, fused_site_enabled, gelu, trunc_init
 
 
 def _offset_dedup_enabled() -> bool:
@@ -154,11 +156,9 @@ class SwinDAttention(nn.Module):
         post-fold (the reference folds BEFORE the bias,
         ``deformableAttention.py:394-399``).
         """
-        import os
-
-        # default ON (see ``swin.fused_attn_branch`` for the measurement)
-        sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
-        if sites == "none" or (sites != "all" and "cva" not in sites.split(",")):
+        # default ON (see ``swin.fused_attn_branch`` for the measurement);
+        # one shared gate predicate so site parsing can't drift between files
+        if not fused_site_enabled("cva"):
             return None
         _, n, c = x1.shape
         if not (

@@ -101,17 +101,19 @@ def fused_mlp_tail_train(module, x, dim: int, dp, drop: float):
 def fused_site_enabled(site: str) -> bool:
     """MUMPY_FUSED_ATTN_SITES env gate (comma list or "all"/"none").
 
-    Default: "cross,cva" — interleaved A/B on the v5e (scripts/ab_bench.py,
+    Default: "cross,cva,vit3" — interleaved A/B on the v5e (scripts/ab_bench.py,
     ±0.3% within run).  "vit" stays OFF even as a whole-block kernel: at batch
     32 the (B*49, 3, 768) rows measured 271.9 vs 283.9 f/s — n=3 pads to 8
     (2.7x wasted attention work) and XLA fuses the tiny attention into its
-    neighbors better than an opaque custom call.  NOTE: the gate is TRACE-TIME
-    only — it is read when jit traces (or when prepared operands are captured);
-    changing the env afterwards has no effect.
+    neighbors better than an opaque custom call.  "vit3" is the SPECIALIZED
+    n=3 whole-layer kernel (ops/pallas/vit3.py, time-major slabs, no pad
+    waste): 100.1 -> 97.9 ms/step at batch 32 (+7 f/s).  NOTE: the gate is
+    TRACE-TIME only — it is read when jit traces (or when prepared operands
+    are captured); changing the env afterwards has no effect.
     """
     import os
 
-    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva")
+    sites = os.environ.get("MUMPY_FUSED_ATTN_SITES", "cross,cva,vit3")
     site_set = {t.strip() for t in sites.split(",")}
     return sites != "none" and (sites == "all" or site in site_set)
 

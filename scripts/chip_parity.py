@@ -120,7 +120,7 @@ def main():
 
     fail = False
     for dtype, tol in ((jnp.float32, 3e-3), (jnp.bfloat16, 1e-1)):
-        outs = forward_outs(model, params, clip, dtype, "cross,cva",
+        outs = forward_outs(model, params, clip, dtype, "cross,cva,vit3",
                             with_oracle=(dtype == jnp.float32))
         a, b = outs["kernel"], outs["xla"]
         diff = np.max(np.abs(a - b))
