@@ -15,9 +15,11 @@ Blocks:
 
 from __future__ import annotations
 
-from typing import List
+import os
+from typing import List, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..configs.model_config import MumpyConfig
@@ -25,6 +27,70 @@ from ..ops.pixel import avg_pool_2d, dap_pool, pixel_shuffle
 from ..ops.resize import upsample_2d
 from .encoder import merge_views_along_channel_axis
 from .swin import gelu, trunc_init  # noqa: F401 (gelu unused here, relu decoder)
+
+
+def _small_conv_enabled() -> bool:
+    """MUMPY_SMALL_CONV env gate (trace-time, like the kernel site gates).
+
+    Default OFF: the stencil form measured 101.8 vs 97.9 ms/step at batch 32
+    (ab_bench, interleaved) — XLA's conv lowering beats the 9 materialized
+    slice-einsum terms even at 4 output channels.  Kept for other TPU
+    generations / shapes (ab_bench token ``smallconv`` opts in)."""
+    return os.environ.get("MUMPY_SMALL_CONV", "0") not in ("0", "off")
+
+
+class SmallConv(nn.Module):
+    """Drop-in ``nn.Conv`` replacement for tiny-output-channel SAME convs.
+
+    XLA's conv op on NHWC tensors with <=8 output channels uses a sliver of
+    the MXU lanes and dominated the batch-32 decoder trace (decoder_5 2.2 ms,
+    final_out 1.25 ms — mostly 4- and 1-channel 3x3 convs at 112-224^2).  With
+    few taps and tiny channel mixes, the conv is cheaper as the explicit sum
+    of shifted slices, each a fusable element-wise ``(B,H,W,Cin)@(Cin,Cout)``
+    contraction — XLA fuses the whole stencil into one pass over the tensor.
+
+    Parameters are IDENTICAL to ``nn.Conv`` (kernel ``(kh, kw, cin, cout)``,
+    bias ``(cout,)``, lecun-normal/zeros init), so checkpoints, weight-port,
+    and init are unchanged; ``MUMPY_SMALL_CONV=0`` falls back to ``nn.Conv``'s
+    lowering for A/B measurement (ab_bench token ``xlaconv``).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if not _small_conv_enabled():
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (1, 1), self.padding,
+                dimension_numbers=dn)
+            return y + bias.astype(y.dtype)
+        (pt, pb), (pl, pr) = self.padding
+        h, w = x.shape[1], x.shape[2]
+        oh = h + pt + pb - kh + 1
+        ow = w + pl + pr - kw + 1
+        xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        kernel = kernel.astype(x.dtype)
+        acc = None
+        for dy in range(kh):
+            for dx in range(kw):
+                term = jnp.einsum(
+                    "bhwc,co->bhwo",
+                    jax.lax.slice(
+                        xp, (0, dy, dx, 0),
+                        (xp.shape[0], dy + oh, dx + ow, cin)),
+                    kernel[dy, dx])
+                acc = term if acc is None else acc + term
+        return acc + bias.astype(acc.dtype)
 
 
 class GlobalConvModule(nn.Module):
@@ -36,10 +102,11 @@ class GlobalConvModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel
-        xl = nn.Conv(self.out_dim, (k, 1), padding=((k // 2, k // 2), (0, 0)), name="conv_l1")(x)
-        xl = nn.Conv(self.out_dim, (1, k), padding=((0, 0), (k // 2, k // 2)), name="conv_l2")(xl)
-        xr = nn.Conv(self.out_dim, (1, k), padding=((0, 0), (k // 2, k // 2)), name="conv_r1")(x)
-        xr = nn.Conv(self.out_dim, (k, 1), padding=((k // 2, k // 2), (0, 0)), name="conv_r2")(xr)
+        pk, p0 = ((k // 2, k // 2), (0, 0))
+        xl = SmallConv(self.out_dim, (k, 1), (pk, p0), name="conv_l1")(x)
+        xl = SmallConv(self.out_dim, (1, k), (p0, pk), name="conv_l2")(xl)
+        xr = SmallConv(self.out_dim, (1, k), (p0, pk), name="conv_r1")(x)
+        xr = SmallConv(self.out_dim, (k, 1), (pk, p0), name="conv_r2")(xr)
         return xl + xr
 
 
@@ -60,13 +127,14 @@ class ConvGNReLUUp(nn.Module):
 
     out_dim: int
     groups: int = 8
+    upsample: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv")(x)
+        x = SmallConv(self.out_dim, (3, 3), ((1, 1), (1, 1)), name="conv")(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
         x = nn.relu(x)
-        return upsample_2d(x, 2, align_corners=True)
+        return upsample_2d(x, 2, align_corners=True) if self.upsample else x
 
 
 class FreqGate(nn.Module):
@@ -78,7 +146,7 @@ class FreqGate(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = avg_pool_2d(x, 2)
-        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv")(x)
+        x = SmallConv(self.out_dim, (3, 3), ((1, 1), (1, 1)), name="conv")(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
         return nn.sigmoid(x)
 
@@ -221,7 +289,18 @@ class MumpyDecoder(nn.Module):
         y = ConvGNReLUUp(nc * k2, name="decoder_2")(gcn1 * freq3 + out1)
         y = ConvGNReLUUp(nc * k2, name="decoder_3")(y + gcn2 * freq2)
         y = ConvGNReLUUp(nc * k2, name="decoder_4")(y + gcn3 * freq1)
-        y = ConvGNReLUUp(nc * k2, name="decoder_5")(y * freq0)
-        y = dap_pool(y, cfg.decoder_dap_k)  # DAP (``decoder.py:139,224``)
-        logits = nn.Conv(1, (3, 3), padding=1, name="final_out")(y)
+        dap_early = os.environ.get("MUMPY_DAP_EARLY", "1") not in ("0", "off")
+        if dap_early and nc == 1:
+            # DAP (PixelShuffle(k)+AvgPool(k), ``decoder.py:139,224``) is a
+            # per-pixel mean over the k^2 channels, which commutes exactly
+            # with decoder_5's per-channel bilinear upsample — taking the mean
+            # BEFORE the upsample runs the full-res 224^2 stage on 1 channel
+            # instead of 4 (same value, linear ops reordered).
+            y = ConvGNReLUUp(nc * k2, upsample=False, name="decoder_5")(y * freq0)
+            y = dap_pool(y, cfg.decoder_dap_k)
+            y = upsample_2d(y, 2, align_corners=True)
+        else:
+            y = ConvGNReLUUp(nc * k2, name="decoder_5")(y * freq0)
+            y = dap_pool(y, cfg.decoder_dap_k)  # DAP (``decoder.py:139,224``)
+        logits = SmallConv(1, (3, 3), ((1, 1), (1, 1)), name="final_out")(y)
         return logits, y

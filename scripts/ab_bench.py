@@ -76,6 +76,11 @@ def main():
         # "padcarry" opts into the padded (sublane-rounded) window scan carry
         # (measured slower at batch 32 — default off, see encoder.py)
         os.environ["MUMPY_PADDED_CARRY"] = "1" if "padcarry" in tokens else "0"
+        # "smallconv" opts into the decoder stencil-form convs (measured
+        # slower at batch 32 — default off, see decoder._small_conv_enabled)
+        os.environ["MUMPY_SMALL_CONV"] = "1" if "smallconv" in tokens else "0"
+        # "latedap" reverts the DAP-before-upsample reorder in decoder_5
+        os.environ["MUMPY_DAP_EARLY"] = "0" if "latedap" in tokens else "1"
         if "bigtiles" in tokens:  # 2MB per-buffer tile cap (default 768KB)
             os.environ["MUMPY_PER_BUF_CAP_KB"] = "2048"
         else:
@@ -83,7 +88,7 @@ def main():
         sites = ",".join(t for t in tokens
                          if t not in ("nounroll", "slowdec", "cvawide",
                                       "bigtiles", "nodedup", "dapstrided",
-                                      "padcarry"))\
+                                      "padcarry", "smallconv", "latedap"))\
             or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (

@@ -103,3 +103,15 @@ def test_vit_block_unrolled_matches_einsum(monkeypatch):
     finally:
         psb.set_mode(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_decoder_dap_early_reorder_exact(tiny_model, monkeypatch):
+    """DAP-before-upsample reorder in decoder_5 (linear ops commute) matches
+    the reference-order path on the same params."""
+    cfg, model, params, clip = tiny_model
+    monkeypatch.setenv("MUMPY_DAP_EARLY", "0")
+    ref = model.apply(params, clip, deterministic=True)
+    monkeypatch.setenv("MUMPY_DAP_EARLY", "1")
+    got = model.apply(params, clip, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

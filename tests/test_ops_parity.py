@@ -147,3 +147,27 @@ def test_dct_matrix_orthonormal_and_faf_matches_torch():
     theirs = torch.cat(outs, dim=1)  # (2, 9, H, W) band-major
     # ours is (..., H, W, 3*C) band-major over C=3 channels
     np.testing.assert_allclose(ours, _to_nhwc(theirs), atol=1e-4, rtol=1e-4)
+
+
+def test_small_conv_matches_conv_lowering(monkeypatch):
+    """Decoder SmallConv stencil form == XLA conv lowering (same params)."""
+    import jax
+    import jax.numpy as jnp
+    from mumpy_tpu.models.decoder import SmallConv
+
+    rng = np.random.default_rng(5)
+    for kh, kw, cin, cout, pad in [
+        (3, 3, 4, 4, ((1, 1), (1, 1))),
+        (3, 3, 1, 1, ((1, 1), (1, 1))),
+        (7, 1, 6, 4, ((3, 3), (0, 0))),
+        (1, 7, 4, 1, ((0, 0), (3, 3))),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, 10, 12, cin)), jnp.float32)
+        mod = SmallConv(cout, (kh, kw), pad)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("MUMPY_SMALL_CONV", "1")
+        fast = mod.apply(params, x)
+        monkeypatch.setenv("MUMPY_SMALL_CONV", "0")
+        ref = mod.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref), atol=2e-5, rtol=2e-5)
