@@ -236,7 +236,7 @@ class CrossWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, deterministic: bool = True):
-        from .swin import relative_position_index
+        from .swin import rel_pos_bias
 
         b1, n, c = x1.shape
         b2 = x2.shape[0]
@@ -259,8 +259,7 @@ class CrossWindowAttention(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02),
             ((2 * self.window - 1) ** 2, h),
         )
-        idx = jnp.asarray(relative_position_index(self.window, self.window))
-        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        bias = rel_pos_bias(table, self.window, self.window)
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) + bias[None]
         attn = jax.nn.softmax(attn, axis=-1)

@@ -34,7 +34,7 @@ from .deformable import CVAModule
 from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
                    drop_path, fused_attn_branch, fused_mlp_tail,
                    fused_mlp_tail_train, fused_site_enabled,
-                   relative_position_index, trunc_init, window_attend)
+                   rel_pos_bias, trunc_init, window_attend)
 
 
 class PatchEmbed3D(nn.Module):
@@ -111,9 +111,7 @@ class CrossSwinBlock(nn.Module):
 
         def _bias():
             table = self.variables["params"]["attn"]["relative_position_bias_table"]
-            idx = jnp.asarray(relative_position_index(window, window))
-            bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-            return bias.transpose(2, 0, 1)[None]
+            return rel_pos_bias(table, window, window)[None]
 
         x1w_in = partition_tokens(x1, gh1, gw1, window, 0)
         fused = fused_attn_branch(

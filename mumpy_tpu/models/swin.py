@@ -16,6 +16,7 @@ All LayerNorms use eps=1e-5 and GELU is the exact (erf) variant to match torch.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -208,6 +209,36 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
     return rel.sum(-1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _rel_pos_onehot(wh: int, ww: int) -> np.ndarray:
+    """Constant (wh*ww*wh*ww, (2wh-1)(2ww-1)) one-hot expansion of
+    :func:`relative_position_index` (one 1 per row)."""
+    idx = relative_position_index(wh, ww).reshape(-1)
+    oh = np.zeros((idx.size, (2 * wh - 1) * (2 * ww - 1)), np.float32)
+    oh[np.arange(idx.size), idx] = 1.0
+    return oh
+
+
+def rel_pos_bias(table: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+    """(table_size, H) bias table -> (H, n, n) additive bias, as a constant
+    one-hot matmul instead of ``table[idx]``.
+
+    The gather form's VJP is a scatter-add into the table (2401 rows colliding
+    into 169) — XLA lowers TPU scatters orders of magnitude slower than a
+    matmul; the one-hot matmul keeps forward AND backward on the MXU and is
+    exact (each row of the one-hot has a single 1, so even bf16 accumulation
+    adds one term).  ~41 training-path instances per step.
+    """
+    n = wh * ww
+    if os.environ.get("MUMPY_RELPOS", "").strip() == "gather":
+        # A/B revert knob (trace-time): the original gather/scatter form
+        idx = jnp.asarray(relative_position_index(wh, ww))
+        return table[idx.reshape(-1)].reshape(n, n, -1).transpose(2, 0, 1)
+    oh = jnp.asarray(_rel_pos_onehot(wh, ww), table.dtype)
+    bias = oh @ table  # (n*n, H)
+    return bias.reshape(n, n, -1).transpose(2, 0, 1)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -252,8 +283,7 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02),
             ((2 * wh - 1) * (2 * ww - 1), h),
         )
-        idx = jnp.asarray(relative_position_index(wh, ww))
-        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        bias = rel_pos_bias(table, wh, ww)
 
         use_fused = (
             pallas_wa.attention_mode() != "off"
@@ -454,8 +484,7 @@ class SwinBlock(nn.Module):
                 "fc2_bias": v["mlp"]["fc2"]["bias"],
             }
             table = v["attn"]["relative_position_bias_table"]
-            idx = jnp.asarray(relative_position_index(window, window))
-            bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            bias = rel_pos_bias(table, window, window)
             if shift > 0:
                 mask = shifted_window_mask(gh, gw, window, shift)
                 mb = mask[:, None].astype(bias.dtype) + bias[None]  # (nW, H, n, n)
@@ -526,8 +555,7 @@ class SwinBlock(nn.Module):
             "wfc2": v["mlp"]["fc2"]["kernel"], "bfc2": v["mlp"]["fc2"]["bias"][None],
         }
         table = v["attn"]["relative_position_bias_table"]
-        idx = jnp.asarray(relative_position_index(window, window))
-        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        bias = rel_pos_bias(table, window, window)
         if shift > 0:
             mask = shifted_window_mask(gh, gw, window, shift)
             mb = mask[:, None].astype(bias.dtype) + bias[None]  # (nW, H, n, n)

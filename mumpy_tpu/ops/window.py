@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +23,7 @@ __all__ = [
     "win_to_img_perm",
     "window_layout_perm",
     "inverse_perm",
+    "permutation_take",
     "partition_tokens",
     "unpartition_tokens",
 ]
@@ -116,6 +118,45 @@ def window_layout_perm_padded(
     return lifted
 
 
+@functools.lru_cache(maxsize=None)
+def _perm_take_fn(perm_bytes: bytes):
+    """custom-VJP row gather for a static PERMUTATION.
+
+    ``jnp.take``'s VJP is a scatter-add; XLA lowers scatter on TPU far slower
+    than gather.  For a permutation the transpose is exactly a gather with the
+    inverse permutation, so the backward stays a cheap row gather.  Cached per
+    permutation (keyed by its bytes) so jit tracing reuses one closure.
+    """
+    perm = np.frombuffer(perm_bytes, dtype=np.int32)
+    inv = inverse_perm(tuple(perm.tolist()))
+
+    @jax.custom_vjp
+    def take(x):
+        return jnp.take(x, jnp.asarray(perm), axis=1)
+
+    def fwd(x):
+        return take(x), None
+
+    def bwd(_, g):
+        return (jnp.take(g, jnp.asarray(inv), axis=1),)
+
+    take.defvjp(fwd, bwd)
+    return take
+
+
+def permutation_take(x: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    """``jnp.take(x, perm, axis=1)`` for a static permutation, with a
+    gather-form (inverse-permutation) backward instead of a scatter.
+
+    ``MUMPY_PERM_TAKE=scatter`` reverts to plain ``jnp.take`` (trace-time
+    gate, for A/B benchmarking)."""
+    import os
+
+    if os.environ.get("MUMPY_PERM_TAKE", "").strip() == "scatter":
+        return jnp.take(x, jnp.asarray(perm), axis=1)
+    return _perm_take_fn(np.ascontiguousarray(perm, np.int32).tobytes())(x)
+
+
 def partition_tokens(x: jnp.ndarray, gh: int, gw: int, window: int, shift: int) -> jnp.ndarray:
     """(B, gh*gw, C) image tokens -> (B*nW, window^2, C) window-major tokens of
     the ``roll(-shift)`` layout.
@@ -129,8 +170,8 @@ def partition_tokens(x: jnp.ndarray, gh: int, gw: int, window: int, shift: int) 
     if shift == 0:
         wins = window_partition(x.reshape(b, gh, gw, c), window)
         return wins.reshape(-1, n, c)
-    perm = jnp.asarray(img_to_window_perm(gh, gw, window, shift))
-    return jnp.take(x, perm, axis=1).reshape(-1, n, c)
+    perm = img_to_window_perm(gh, gw, window, shift)
+    return permutation_take(x, perm).reshape(-1, n, c)
 
 
 def unpartition_tokens(wins: jnp.ndarray, gh: int, gw: int, window: int, shift: int) -> jnp.ndarray:
@@ -140,8 +181,8 @@ def unpartition_tokens(wins: jnp.ndarray, gh: int, gw: int, window: int, shift: 
         x = window_reverse(wins.reshape(-1, window, window, c), window, gh, gw)
         return x.reshape(x.shape[0], gh * gw, c)
     b = wins.shape[0] * n // (gh * gw)
-    perm = jnp.asarray(win_to_img_perm(gh, gw, window, shift))
-    return jnp.take(wins.reshape(b, gh * gw, c), perm, axis=1)
+    perm = win_to_img_perm(gh, gw, window, shift)
+    return permutation_take(wins.reshape(b, gh * gw, c), perm)
 
 
 @functools.lru_cache(maxsize=None)

@@ -171,3 +171,44 @@ def test_small_conv_matches_conv_lowering(monkeypatch):
         ref = mod.apply(params, x)
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_permutation_take_grad_matches_scatter_form():
+    """permutation_take fwd == jnp.take; its gather-form VJP == take's scatter VJP."""
+    import jax
+    from mumpy_tpu.ops.window import img_to_window_perm, permutation_take
+
+    perm = img_to_window_perm(14, 14, 7, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 196, 5)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 196, 5)), jnp.float32)
+
+    f_fast = lambda x: jnp.sum(permutation_take(x, perm) * g)
+    f_ref = lambda x: jnp.sum(jnp.take(x, jnp.asarray(perm), axis=1) * g)
+    np.testing.assert_allclose(np.asarray(f_fast(x)), np.asarray(f_ref(x)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_fast)(x)), np.asarray(jax.grad(f_ref)(x)), rtol=1e-6)
+
+
+def test_rel_pos_bias_matmul_matches_gather():
+    """One-hot-matmul rel-pos bias == table[idx] gather, values and table grads."""
+    import jax
+    from mumpy_tpu.models.swin import rel_pos_bias, relative_position_index
+
+    wh = ww = 7
+    h = 4
+    n = wh * ww
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.standard_normal(((2 * wh - 1) ** 2, h)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32)
+    idx = jnp.asarray(relative_position_index(wh, ww))
+
+    def ref(t):
+        return jnp.sum(t[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1) * g)
+
+    fast = lambda t: jnp.sum(rel_pos_bias(t, wh, ww) * g)
+    np.testing.assert_allclose(np.asarray(fast(table)), np.asarray(ref(table)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(fast)(table)), np.asarray(jax.grad(ref)(table)),
+        atol=1e-4, rtol=1e-4)
