@@ -231,7 +231,13 @@ def rel_pos_bias(table: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
     """
     n = wh * ww
     if os.environ.get("MUMPY_RELPOS", "").strip() == "gather":
-        # A/B revert knob (trace-time): the original gather/scatter form
+        # A/B revert knob (trace-time): the original gather/scatter form.
+        # Log once so A/B runs are self-documenting (flipping the env var
+        # after a function is jitted has no effect on the compiled program).
+        if not getattr(rel_pos_bias, "_gather_logged", False):
+            rel_pos_bias._gather_logged = True
+            print("[mumpy] MUMPY_RELPOS=gather active (trace-time gate)",
+                  flush=True)
         idx = jnp.asarray(relative_position_index(wh, ww))
         return table[idx.reshape(-1)].reshape(n, n, -1).transpose(2, 0, 1)
     oh = jnp.asarray(_rel_pos_onehot(wh, ww), table.dtype)

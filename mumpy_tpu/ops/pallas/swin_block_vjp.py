@@ -79,10 +79,16 @@ def train_site_enabled(site: str) -> bool:
     "block" = the whole-block SwinBlock kernel, "cross" = the CrossSwinBlock
     attention half (ops/pallas/attn_ln_vjp.py), "mlp" = the CrossSwinBlock /
     VitBlock LN+MLP tails (ops/pallas/ln_mlp_vjp.py).  Comma list or
-    "all"/"none"; TRACE-TIME only, like models.swin.fused_site_enabled."""
+    "all"/"none"; TRACE-TIME only, like models.swin.fused_site_enabled.
+
+    Default is "block,cross": the compiled ln_mlp_vjp kernel crashes the TPU
+    worker on the current axon runtime (round 3; reproduced at round-2 HEAD
+    too, so it is a runtime regression, not a kernel change) and it measured
+    perf-neutral in round 2 — off until the fault is root-caused (PERF.md
+    "ln_mlp worker crash").  ``MUMPY_FUSED_TRAIN_SITES=all`` re-enables."""
     import os
 
-    sites = os.environ.get("MUMPY_FUSED_TRAIN_SITES", "all")
+    sites = os.environ.get("MUMPY_FUSED_TRAIN_SITES", "block,cross")
     if sites == "none":
         return False
     return sites == "all" or site in {t.strip() for t in sites.split(",")}
@@ -327,8 +333,212 @@ def _train_bwd_kernel(
     dx_ref[:] = (dx2 + _ln_bwd(dh1, xh1, rstd1, s1)).astype(dtype)
 
 
+def _train_bwd_dw_kernel(
+    x_ref, dy_ref, mb_ref, k1_ref, k2_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    dx_ref, dmb_ref,
+    dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    dln2s_ref, dln2b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
+    qkv_scr, o_scr, dqkv_scr, do_scr, s_scr,
+    *, heads, n_valid, scale,
+):
+    """Backward with IN-KERNEL weight-gradient accumulation.
+
+    The spill-form backward (:func:`_train_bwd_kernel`) writes five full-size
+    activation operands to HBM and leaves the weight grads to an XLA tail that
+    re-reads them (plus an f32 MLP recompute).  scripts/bwd_probe.py measured
+    that tail at **43-45% of the whole VJP** (stage2v3: 917 us of 2149).  Here
+    every dW is a per-tile GEMM over operands already in VMEM, accumulated
+    across grid steps in f32 output blocks with constant index maps (zeroed at
+    grid step 0) — no activation spills, no XLA tail, ~1x extra fwd-GEMM flops
+    on the MXU in exchange for ~7c/row less HBM traffic.
+
+    Pad-row correctness: dy pad rows are 0, so df2/df1 and all of dqkv's pad
+    rows are exactly 0 (pad KEY columns carry softmax prob 0 via the -1e30
+    additive term), hence pad rows contribute nothing to any dW — same math
+    as the spill path's full-row GEMMs.
+    """
+    tile, npad, c = x_ref.shape
+    hd = c // heads
+    x = x_ref[:]
+    dy = dy_ref[:]
+    dtype = x.dtype
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                    dbproj_ref, dln2s_ref, dln2b_ref, dwfc1_ref, dbfc1_ref,
+                    dwfc2_ref, dbfc2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    # ---- forward recompute: LN1 / qkv / attention ----
+    xh1, rstd1 = _ln_stats(x.astype(f32))
+    s1 = ln1s_ref[:].astype(f32)
+    h1_32 = xh1 * s1 + ln1b_ref[:].astype(f32)
+    h1 = h1_32.astype(dtype)
+    qkv_scr[:] = (jax.lax.dot_general(
+        h1.reshape(tile * npad, c), wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bqkv_ref[:].astype(f32)).astype(dtype).reshape(tile, npad, 3 * c)
+
+    _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
+                    scale=scale)
+    for h in range(heads):
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
+        o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        ).astype(dtype)
+    proj = jax.lax.dot_general(
+        o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bproj_ref[:].astype(f32)
+    k1 = k1_ref[:].astype(f32)
+    x2_32 = x.astype(f32) + k1 * proj.reshape(tile, npad, c)
+    x2 = x2_32.astype(dtype)
+
+    # ---- MLP branch: recompute + backward + fc/ln2 weight grads ----
+    xh2, rstd2 = _ln_stats(x2.astype(f32))
+    s2 = ln2s_ref[:].astype(f32)
+    h2_32 = xh2 * s2 + ln2b_ref[:].astype(f32)
+    h2 = h2_32.astype(dtype)
+    k2 = k2_ref[:].astype(f32)
+
+    m = wfc1_ref.shape[1]
+    wc = max(1, min(tile, 1_000_000 // (npad * m * 4)))
+    ln2_terms = []
+    for j in range(0, tile, wc):
+        cc = min(wc, tile - j)
+        h2c = h2[j:j + cc].reshape(cc * npad, c)
+        f1 = jax.lax.dot_general(
+            h2c, wfc1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bfc1_ref[:].astype(f32)
+        g, dgelu = _gelu_and_grad(f1)
+        df2 = (k2[j:j + cc] * dy[j:j + cc].astype(f32)
+               ).reshape(cc * npad, c).astype(dtype)
+        dg = jax.lax.dot_general(
+            df2, wfc2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        df1 = (dg * dgelu).astype(dtype)
+        dh2 = jax.lax.dot_general(
+            df1, wfc1_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(cc, npad, c)
+        # fc weight/bias grads over this chunk's in-VMEM operands
+        dwfc1_ref[...] += jax.lax.dot_general(
+            h2c, df1, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        dbfc1_ref[...] += jnp.sum(df1.astype(f32), axis=0, keepdims=True)
+        dwfc2_ref[...] += jax.lax.dot_general(
+            g.astype(dtype), df2, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dbfc2_ref[...] += jnp.sum(df2.astype(f32), axis=0, keepdims=True)
+        dh2_32 = dh2.astype(f32)
+        dln2s_ref[...] += jnp.sum(
+            (dh2_32 * xh2[j:j + cc]).reshape(cc * npad, c), axis=0,
+            keepdims=True)
+        dln2b_ref[...] += jnp.sum(dh2_32.reshape(cc * npad, c), axis=0,
+                                  keepdims=True)
+        ln2_terms.append(_ln_bwd(dh2, xh2[j:j + cc], rstd2[j:j + cc], s2))
+    dx2 = dy.astype(f32) + (
+        ln2_terms[0] if len(ln2_terms) == 1
+        else jnp.concatenate(ln2_terms, axis=0))
+
+    dproj = k1 * dx2
+    dproj_d = dproj.astype(dtype)
+    dproj_2d = dproj_d.reshape(tile * npad, c)
+    dwproj_ref[...] += jax.lax.dot_general(
+        o_scr[:].reshape(tile * npad, c), dproj_2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dbproj_ref[...] += jnp.sum(dproj_2d.astype(f32), axis=0, keepdims=True)
+
+    # ---- attention backward ----
+    do_scr[:] = jax.lax.dot_general(
+        dproj_2d, wproj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(dtype).reshape(tile, npad, c)
+    for h in range(heads):
+        q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+        k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        p32 = s_scr[h * tile:(h + 1) * tile]
+        p = p32.astype(dtype)
+        do_h = do_scr[:, :, h * hd:(h + 1) * hd]
+        dp = jax.lax.dot_general(
+            do_h, v3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dsum = jnp.sum(dp * p32, axis=-1, keepdims=True)
+        ds = p32 * (dp - dsum)
+        dmb_ref[0, h] = jnp.sum(ds, axis=0)
+        ds_t = (ds * scale).astype(dtype)
+        dq = jax.lax.dot_general(
+            ds_t, k3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dk = jax.lax.dot_general(
+            ds_t, q3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dv = jax.lax.dot_general(
+            p, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dqkv_scr[:, :, h * hd:(h + 1) * hd] = dq.astype(dtype)
+        dqkv_scr[:, :, c + h * hd:c + (h + 1) * hd] = dk.astype(dtype)
+        dqkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv.astype(dtype)
+
+    dqkv_2d = dqkv_scr[:].reshape(tile * npad, 3 * c)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        h1.reshape(tile * npad, c), dqkv_2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dbqkv_ref[...] += jnp.sum(dqkv_2d.astype(f32), axis=0, keepdims=True)
+
+    dh1 = jax.lax.dot_general(
+        dqkv_2d, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(tile, npad, c)
+    dln1s_ref[...] += jnp.sum(
+        (dh1 * xh1).reshape(tile * npad, c), axis=0, keepdims=True)
+    dln1b_ref[...] += jnp.sum(dh1.reshape(tile * npad, c), axis=0,
+                              keepdims=True)
+    dx_ref[:] = (dx2 + _ln_bwd(dh1, xh1, rstd1, s1)).astype(dtype)
+
+
 _W_NAMES = ("ln1s", "ln1b", "wqkv", "bqkv", "wproj", "bproj",
             "ln2s", "ln2b", "wfc1", "bfc1", "wfc2", "bfc2")
+
+_DW_SHAPES = lambda c, m: {
+    "ln1s": (1, c), "ln1b": (1, c), "wqkv": (c, 3 * c), "bqkv": (1, 3 * c),
+    "wproj": (c, c), "bproj": (1, c), "ln2s": (1, c), "ln2b": (1, c),
+    "wfc1": (c, m), "bfc1": (1, m), "wfc2": (m, c), "bfc2": (1, c),
+}
+
+
+def dw_in_kernel(c: int, m: int, itemsize: int) -> bool:
+    """Use the in-kernel dW-accumulation backward when the f32 accumulators +
+    resident weights fit the VMEM budget.  ``MUMPY_BWD_DW=spill`` forces the
+    spill-form backward (A/B knob, trace-time)."""
+    import os
+
+    mode = os.environ.get("MUMPY_BWD_DW", "").strip()
+    if mode == "spill":
+        return False
+    if mode == "kernel":
+        return True
+    if itemsize >= 4:
+        # f32 training (reference-parity mode): the f32 accumulator outputs
+        # push XLA's own 16MB scoped-vmem fusion budget over at flagship
+        # widths ("Scoped allocation ... exceeded scoped vmem limit", an
+        # XLA-side limit CompilerParams cannot raise) — use the spill form
+        return False
+    acc = 4 * (4 * c * c + 2 * c * m + 6 * c + 3 * c + m)
+    weights = itemsize * (4 * c * c + 2 * c * m)
+    return acc + weights < 0.55 * vmem_limit_bytes()
 
 
 def _tile_and_mb(r, p_w, npad, c, heads, itemsize, m, *, bwd=False):
@@ -437,6 +647,8 @@ def _bwd(heads, n, p_w, interpret, res, dy):
     npad = -(-n // 8) * 8
     wdtype = weights["wqkv"].dtype
     m = weights["wfc1"].shape[1]
+    if dw_in_kernel(c, m, wdtype.itemsize):
+        return _bwd_dw(heads, n, p_w, interpret, res, dy)
     tile, _ = _tile_and_mb(r, p_w, npad, c, heads, wdtype.itemsize, m, bwd=True)
 
     xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
@@ -492,6 +704,16 @@ def _bwd(heads, n, p_w, interpret, res, dy):
     )(xp, dyp, mbt, k1p, k2p, *wl)
     dx, h1, dqkv, o, h2, dproj, dmb_tiles = outs
 
+    import os
+    if os.environ.get("MUMPY_BWD_NO_DW"):
+        # probe-only (scripts/bwd_probe.py): skip the XLA weight-grad tail to
+        # time the bwd kernel alone — gradients are WRONG under this gate
+        dmb_total = jnp.sum(dmb_tiles, axis=0)[:, :n, :n]
+        dmb = jnp.zeros_like(mb).at[0].set(dmb_total.astype(mb.dtype))
+        dW = {k: jnp.zeros_like(weights[k]) for k in _W_NAMES}
+        return (dx[:, :n, :], dmb, dW,
+                jnp.zeros_like(keep1), jnp.zeros_like(keep2))
+
     f32 = jnp.float32
     flat = lambda a: a.reshape(r * npad, a.shape[-1])
     h1f, dqkvf, of, h2f, dprojf = map(flat, (h1, dqkv, o, h2, dproj))
@@ -535,6 +757,82 @@ def _bwd(heads, n, p_w, interpret, res, dy):
     dmb_total = jnp.sum(dmb_tiles, axis=0)[:, :n, :n]
     dmb = jnp.zeros_like(mb).at[0].set(dmb_total.astype(mb.dtype))
 
+    return (dx[:, :n, :], dmb, dW, jnp.zeros_like(keep1), jnp.zeros_like(keep2))
+
+
+def _bwd_dw(heads, n, p_w, interpret, res, dy):
+    """In-kernel-dW backward dispatch (see :func:`_train_bwd_dw_kernel`)."""
+    x, mb, weights, keep1, keep2 = res
+    r, _, c = x.shape
+    hd = c // heads
+    npad = -(-n // 8) * 8
+    wdtype = weights["wqkv"].dtype
+    m = weights["wfc1"].shape[1]
+    dw_shapes = _DW_SHAPES(c, m)
+    acc_bytes = 4 * sum(int(np.prod(s)) for s in dw_shapes.values())
+    tile, _, _ = _choose_tile(
+        r, p_w, npad, c, heads, wdtype.itemsize,
+        n_act_bufs=8,
+        extra_weight_bytes=2 * c * m * wdtype.itemsize + acc_bytes,
+        scratch_bytes_per_window=(npad * 10 * c * wdtype.itemsize * 3
+                                  + heads * npad * npad * 4),
+    )
+
+    xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    dyp = jnp.pad(dy, ((0, 0), (0, npad - n), (0, 0)))
+    mbt = _expand_mb(mb, npad, tile, p_w, wdtype)
+    wl = [weights[k] for k in _W_NAMES]
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+    k1p = keep1.reshape(r, 1, 1)
+    k2p = keep2.reshape(r, 1, 1)
+    row = pl.BlockSpec((tile, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    act = lambda lastdim: pl.BlockSpec(
+        (tile, npad, lastdim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    n_tiles = r // tile
+    # 4x fwd flops: 3x recompute + ~1x dW GEMMs, all on the MXU in-kernel
+    flops = r * (4 * (8 * n * c * c + 4 * n * n * c + 4 * n * c * m))
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=3 * r * npad * c * x.dtype.itemsize,
+        transcendentals=2 * r * n * m,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_train_bwd_dw_kernel, heads=heads, n_valid=n,
+                          scale=hd**-0.5),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, npad, c), x.dtype),                 # dx
+            jax.ShapeDtypeStruct((n_tiles, heads, npad, npad), jnp.float32),
+        ) + tuple(jax.ShapeDtypeStruct(dw_shapes[k], jnp.float32)
+                  for k in _W_NAMES),
+        grid=(n_tiles,),
+        in_specs=[
+            act(c), act(c), _mb_spec(mbt, tile, heads, npad), row, row,
+        ] + [full(a) for a in wl],
+        out_specs=(
+            act(c),
+            pl.BlockSpec((1, heads, npad, npad), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(acc(dw_shapes[k]) for k in _W_NAMES),
+        scratch_shapes=[
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # qkv
+            pltpu.VMEM((tile, npad, c), x.dtype),      # o
+            pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # dqkv
+            pltpu.VMEM((tile, npad, c), x.dtype),      # do_full
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),  # probs
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+        compiler_params=kernel_compiler_params(),
+    )(xp, dyp, mbt, k1p, k2p, *wl)
+    dx, dmb_tiles = outs[0], outs[1]
+    dW = {k: v.astype(wdtype) for k, v in zip(_W_NAMES, outs[2:])}
+
+    dmb_total = jnp.sum(dmb_tiles, axis=0)[:, :n, :n]
+    dmb = jnp.zeros_like(mb).at[0].set(dmb_total.astype(mb.dtype))
     return (dx[:, :n, :], dmb, dW, jnp.zeros_like(keep1), jnp.zeros_like(keep2))
 
 

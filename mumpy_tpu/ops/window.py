@@ -126,8 +126,15 @@ def _perm_take_fn(perm_bytes: bytes):
     than gather.  For a permutation the transpose is exactly a gather with the
     inverse permutation, so the backward stays a cheap row gather.  Cached per
     permutation (keyed by its bytes) so jit tracing reuses one closure.
+
+    Reverse-mode only (``jax.custom_vjp``): forward-mode AD through this op
+    raises; if jvp is ever needed, a permutation's JVP is the same gather.
     """
     perm = np.frombuffer(perm_bytes, dtype=np.int32)
+    if not np.array_equal(np.sort(perm), np.arange(perm.size, dtype=np.int32)):
+        raise ValueError("permutation_take requires a true permutation "
+                         "(repeated/missing indices would silently corrupt the "
+                         "inverse-perm backward)")
     inv = inverse_perm(tuple(perm.tolist()))
 
     @jax.custom_vjp
@@ -153,6 +160,10 @@ def permutation_take(x: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
     import os
 
     if os.environ.get("MUMPY_PERM_TAKE", "").strip() == "scatter":
+        if not getattr(permutation_take, "_scatter_logged", False):
+            permutation_take._scatter_logged = True
+            print("[mumpy] MUMPY_PERM_TAKE=scatter active (trace-time gate)",
+                  flush=True)
         return jnp.take(x, jnp.asarray(perm), axis=1)
     return _perm_take_fn(np.ascontiguousarray(perm, np.int32).tobytes())(x)
 

@@ -243,16 +243,37 @@ def train_loop(
     for e in range(loop_cfg.max_epoch):
         epoch_losses = {"train": [], "val": []}
         mt = None  # the val-split metric driving best/patience bookkeeping
+        te0 = time.time()
+        epoch_clips = 0
         for split in ("train", "val"):
+            # Per-step scalars stay ON DEVICE and are fetched in one batched
+            # device_get every ``print_every`` steps: a per-step float() is a
+            # full host round-trip per scalar, which on a remote-TPU link
+            # serializes the loop on transfers.  The reference likewise only
+            # prints every ``print_every`` (``train.py:402-412``).
+            pending = []  # [(step, {scalar-name: device scalar})]
+
+            def flush():
+                if not pending:
+                    return
+                fetched = jax.device_get([p[1] for p in pending])
+                for (ts, _), sc in zip(pending, fetched):
+                    sc = {k: float(v) for k, v in sc.items()}
+                    if split == "train":
+                        writer.write(ts, "train", sc)
+                        writer.write(ts, "lr", current_lrs(ts, opt_cfg, iter_max))
+                    epoch_losses[split].append(sc["total"])
+                pending.clear()
+
             for i, batch in enumerate(loaders[split]()):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
                 batch = shard_batch(batch, mesh)
                 if split == "train":
+                    epoch_clips += int(batch["image"].shape[0])
                     state, m = jtrain(state, batch, rng)
                     preds = m.pop("preds", None)
-                    writer.write(tstep, "train", {k: v for k, v in m.items()})
-                    writer.write(tstep, "lr", current_lrs(tstep, opt_cfg, iter_max))
+                    pending.append((tstep, m))
                     if (preds is not None
                             and tstep % loop_cfg.image_every == 0):
                         # prediction/mask grids (``train.py:386-390``)
@@ -265,12 +286,14 @@ def train_loop(
                     tstep += 1
                 else:
                     m = jval(state, batch)
-                epoch_losses[split].append(float(m["total"]))
+                    pending.append((i, m))
                 if (i + 1) % loop_cfg.print_every == 0:
+                    flush()
                     print(
                         f"epoch {e} {split} iter {i}: total "
                         f"{np.mean(epoch_losses[split]):.4f} ({time.time() - t0:.1f}s)"
                     )
+            flush()
             if not epoch_losses[split]:
                 if split == "val":
                     print(f"Epoch {e}: val loader produced no batches — "
@@ -288,6 +311,14 @@ def train_loop(
                 split_mean = float(np.mean(epoch_losses[split]))
             writer.write(e, f"epoch_{split}", {"total": split_mean})
             print(f"Epoch {e}: total {split_mean:.4f} ({split})")
+            if split == "train" and epoch_clips:
+                # end-to-end epoch throughput: loader + device step + logging
+                # (the device-only rate is measured by scripts/train_bench.py)
+                dt = time.time() - te0
+                print(f"Epoch {e}: train wall {dt:.1f}s, "
+                      f"{epoch_clips / dt:.1f} stream-clips/s end-to-end")
+                writer.write(e, "epoch_wall", {"seconds": dt,
+                                               "clips_per_s": epoch_clips / dt})
 
         # best/patience bookkeeping on the VAL metric only (``train.py:437-466``)
         if mt is None:

@@ -362,15 +362,22 @@ def port_state_dicts(
     return traverse_util.unflatten_dict(flat), report
 
 
-def load_pretrained(params: Dict, path: str, verbose: bool = True) -> Dict:
+def load_pretrained(
+    params: Dict, path: str, verbose: bool = True,
+    min_matched_frac: float = 0.5,
+) -> Dict:
     """strict=False-style warm start from a torch checkpoint file — the
     counterpart of the reference's ``load_model_weights(model, "../weights/
     weight.pth", strict=False)`` at model construction (``modelFactory.py:8-14,
     70-71``).
 
     Accepts a raw state_dict, a {"encoder": sd, "decoder": sd} pair, or a
-    checkpoint with "state_dict"/"model" nesting.  Keys that do not map (extra
-    heads, missing CVA weights in an ImageNet init, ...) are skipped.
+    checkpoint with "state_dict"/"model" nesting.  DataParallel ``module.``
+    prefixes (reference ``check_parallel``, ``utils/utils.py:156-176``; saved
+    when ``ngpus>1``, ``train.py:290-292``) are stripped by the key maps.
+    Keys that do not map (extra heads, ...) are skipped, but if fewer than
+    ``min_matched_frac`` of the checkpoint's mappable keys match, this raises
+    instead of silently warm-starting from (mostly) random init.
     """
     import torch
 
@@ -383,9 +390,19 @@ def load_pretrained(params: Dict, path: str, verbose: bool = True) -> Dict:
     to_np = lambda d: {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
                        for k, v in d.items()}
     new_params, report = port_state_dicts(to_np(enc_sd), to_np(dec_sd), params)
+    n_unmatched = len(report["unmatched_torch_keys"])
+    n_total = len(enc_sd) + len(dec_sd)
+    n_matched = n_total - n_unmatched  # incl. buffers intentionally dropped
+    if n_total and n_matched / n_total < min_matched_frac:
+        raise ValueError(
+            f"load_pretrained({path!r}): only {n_matched}/{n_total} checkpoint "
+            f"keys mapped onto the model (< {min_matched_frac:.0%}) — wrong "
+            f"checkpoint format or architecture mismatch. First unmatched: "
+            f"{report['unmatched_torch_keys'][:5]}"
+        )
     if verbose:
         print(
-            f"loaded {path}: {len(report['unmatched_torch_keys'])} torch keys skipped, "
+            f"loaded {path}: {n_unmatched} torch keys skipped, "
             f"{len(report['untouched_flax_paths'])} flax params left at init"
         )
     return new_params

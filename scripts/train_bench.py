@@ -61,9 +61,12 @@ def main():
         if "unroll" in suffixes:
             cfg = dataclasses.replace(cfg, train_scan_unroll=True)
         os.environ.pop("MUMPY_FUSED_TRAIN_SITES", None)
+        os.environ.pop("MUMPY_BWD_DW", None)
         for sfx in suffixes:
             if sfx.startswith("sites:"):
                 os.environ["MUMPY_FUSED_TRAIN_SITES"] = sfx[6:].replace(".", ",")
+            if sfx == "dwspill":  # spill-form block backward (A/B vs in-kernel dW)
+                os.environ["MUMPY_BWD_DW"] = "spill"
         vjp_mod.set_train_mode("compiled" if "kernel" in suffixes else "off")
         state = create_train_state(
             cfg, OptimConfig(), iter_max=1000, rng=jax.random.PRNGKey(0)

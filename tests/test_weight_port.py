@@ -224,6 +224,53 @@ def test_load_pretrained_from_torch_file(tmp_path):
     )
 
 
+def test_dataparallel_module_prefix(tmp_path):
+    """A DataParallel-saved checkpoint (every key ``module.``-prefixed, as the
+    reference writes when ``ngpus>1`` — ``check_parallel``, ``utils/utils.py:
+    156-176``; ``train.py:290-292``) ports identically to the unprefixed one."""
+    import functools
+    import mumpy_tpu.utils.weight_port as wp
+
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    import jax.numpy as jnp
+
+    clip = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+    enc_sd, dec_sd = build_reference_state_dicts(cfg)
+    dp_enc = {f"module.{k}": v for k, v in enc_sd.items()}
+    dp_dec = {f"module.{k}": v for k, v in dec_sd.items()}
+
+    depths = tuple(v.depths for v in cfg.views)
+    ported, report = _port_with_depths(dp_enc, dp_dec, params, depths)
+    assert report["unmatched_torch_keys"] == [], report["unmatched_torch_keys"][:8]
+    assert report["untouched_flax_paths"] == [], report["untouched_flax_paths"][:8]
+    np.testing.assert_allclose(
+        flatten_dict(ported)[("encoder", "globalembedding", "kernel")],
+        enc_sd["globalembedding.weight"].T,
+    )
+
+
+def test_load_pretrained_fails_loudly_on_garbage(tmp_path):
+    """A checkpoint whose keys mostly don't map raises instead of silently
+    warm-starting from random init (VERDICT r2 item 4)."""
+    import torch
+    import jax.numpy as jnp
+    import mumpy_tpu.utils.weight_port as wp
+
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    clip = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+
+    blob = {f"some.other.model.layer{i}.weight": torch.zeros(4, 4)
+            for i in range(20)}
+    path = str(tmp_path / "garbage.pth")
+    torch.save(blob, path)
+    with pytest.raises(ValueError, match="keys mapped"):
+        wp.load_pretrained(params, path, verbose=False)
+
+
 def _port_with_depths(enc_sd, dec_sd, params, depths):
     """Port with tiny-config view depths instead of the flagship defaults."""
     import functools
