@@ -85,13 +85,27 @@ def train_site_enabled(site: str) -> bool:
     worker on the current axon runtime (round 3; reproduced at round-2 HEAD
     too, so it is a runtime regression, not a kernel change) and it measured
     perf-neutral in round 2 — off until the fault is root-caused (PERF.md
-    "ln_mlp worker crash").  ``MUMPY_FUSED_TRAIN_SITES=all`` re-enables."""
+    "ln_mlp worker crash").  Because round-2-era docs name
+    ``MUMPY_FUSED_TRAIN_SITES=all`` as a default, selecting the mlp site in
+    COMPILED mode refuses at trace time unless
+    ``MUMPY_ALLOW_CRASHING_KERNELS=1`` additionally opts in — a stale env var
+    must raise in-process, not kill the TPU worker."""
     import os
 
     sites = os.environ.get("MUMPY_FUSED_TRAIN_SITES", "block,cross")
     if sites == "none":
         return False
-    return sites == "all" or site in {t.strip() for t in sites.split(",")}
+    on = sites == "all" or site in {t.strip() for t in sites.split(",")}
+    if (on and site == "mlp" and train_mode() == "compiled"
+            and os.environ.get("MUMPY_ALLOW_CRASHING_KERNELS") != "1"):
+        raise RuntimeError(
+            "MUMPY_FUSED_TRAIN_SITES includes 'mlp', but the compiled "
+            "ln_mlp_vjp kernel crashes the TPU worker on the current runtime "
+            "(PERF.md 'ln_mlp worker crash'; scripts/ln_mlp_repro.py is the "
+            "minimal repro). Set MUMPY_ALLOW_CRASHING_KERNELS=1 to opt in "
+            "anyway, or drop 'mlp' from MUMPY_FUSED_TRAIN_SITES."
+        )
+    return on
 
 
 def train_supported(c: int, mlp_hidden: int, n: int, itemsize: int,
@@ -708,6 +722,12 @@ def _bwd(heads, n, p_w, interpret, res, dy):
     if os.environ.get("MUMPY_BWD_NO_DW"):
         # probe-only (scripts/bwd_probe.py): skip the XLA weight-grad tail to
         # time the bwd kernel alone — gradients are WRONG under this gate
+        if not getattr(_bwd, "_no_dw_logged", False):
+            _bwd._no_dw_logged = True
+            print(
+                "[mumpy] WARNING: MUMPY_BWD_NO_DW active — weight gradients "
+                "are ZERO (timing probe only; any training run under this "
+                "gate updates nothing but via dx)", flush=True)
         dmb_total = jnp.sum(dmb_tiles, axis=0)[:, :n, :n]
         dmb = jnp.zeros_like(mb).at[0].set(dmb_total.astype(mb.dtype))
         dW = {k: jnp.zeros_like(weights[k]) for k in _W_NAMES}

@@ -265,35 +265,41 @@ def train_loop(
                     epoch_losses[split].append(sc["total"])
                 pending.clear()
 
-            for i, batch in enumerate(loaders[split]()):
-                if max_steps_per_epoch and i >= max_steps_per_epoch:
-                    break
-                batch = shard_batch(batch, mesh)
-                if split == "train":
-                    epoch_clips += int(batch["image"].shape[0])
-                    state, m = jtrain(state, batch, rng)
-                    preds = m.pop("preds", None)
-                    pending.append((tstep, m))
-                    if (preds is not None
-                            and tstep % loop_cfg.image_every == 0):
-                        # prediction/mask grids (``train.py:386-390``)
-                        hw = int(np.sqrt(np.asarray(batch["mask"]).shape[-1]))
-                        writer.write_image_grid("prediction", preds, tstep)
-                        writer.write_image_grid(
-                            "masks",
-                            np.asarray(batch["mask"]).reshape(-1, hw, hw), tstep,
+            try:
+                for i, batch in enumerate(loaders[split]()):
+                    if max_steps_per_epoch and i >= max_steps_per_epoch:
+                        break
+                    batch = shard_batch(batch, mesh)
+                    if split == "train":
+                        epoch_clips += int(batch["image"].shape[0])
+                        state, m = jtrain(state, batch, rng)
+                        preds = m.pop("preds", None)
+                        pending.append((tstep, m))
+                        if (preds is not None
+                                and tstep % loop_cfg.image_every == 0):
+                            # prediction/mask grids (``train.py:386-390``)
+                            hw = int(np.sqrt(np.asarray(batch["mask"]).shape[-1]))
+                            writer.write_image_grid("prediction", preds, tstep)
+                            writer.write_image_grid(
+                                "masks",
+                                np.asarray(batch["mask"]).reshape(-1, hw, hw),
+                                tstep,
+                            )
+                        tstep += 1
+                    else:
+                        m = jval(state, batch)
+                        pending.append((i, m))
+                    if (i + 1) % loop_cfg.print_every == 0:
+                        flush()
+                        print(
+                            f"epoch {e} {split} iter {i}: total "
+                            f"{np.mean(epoch_losses[split]):.4f} ({time.time() - t0:.1f}s)"
                         )
-                    tstep += 1
-                else:
-                    m = jval(state, batch)
-                    pending.append((i, m))
-                if (i + 1) % loop_cfg.print_every == 0:
-                    flush()
-                    print(
-                        f"epoch {e} {split} iter {i}: total "
-                        f"{np.mean(epoch_losses[split]):.4f} ({time.time() - t0:.1f}s)"
-                    )
-            flush()
+            finally:
+                # a crashed step/loader must not lose the buffered scalars —
+                # the final steps before an abort are exactly the ones needed
+                # for diagnosis
+                flush()
             if not epoch_losses[split]:
                 if split == "val":
                     print(f"Epoch {e}: val loader produced no batches — "

@@ -330,12 +330,15 @@ def port_state_dicts(
     flat = {k: np.asarray(v) for k, v in flat.items()}
     touched = set()
     unmatched = []
+    n_buffers = 0  # intentionally-dropped torch buffers (recomputed statically)
     for sd, mapper in ((encoder_sd, encoder_key_map), (decoder_sd, decoder_key_map)):
         for k, v in sd.items():
             out = mapper(k)
             if out is None:
                 if "relative_position_index" not in k and "attn_mask" not in k:
                     unmatched.append(k)
+                else:
+                    n_buffers += 1
                 continue
             path, conv, idx = out
             if path not in flat:
@@ -358,7 +361,8 @@ def port_state_dicts(
     untouched = [p for p in flat if p not in touched]
     if not allow_missing and (unmatched or untouched):
         raise ValueError(f"unmatched={unmatched[:5]} untouched={untouched[:5]}")
-    report = {"unmatched_torch_keys": unmatched, "untouched_flax_paths": untouched}
+    report = {"unmatched_torch_keys": unmatched, "untouched_flax_paths": untouched,
+              "dropped_buffers": n_buffers}
     return traverse_util.unflatten_dict(flat), report
 
 
@@ -391,13 +395,18 @@ def load_pretrained(
                        for k, v in d.items()}
     new_params, report = port_state_dicts(to_np(enc_sd), to_np(dec_sd), params)
     n_unmatched = len(report["unmatched_torch_keys"])
-    n_total = len(enc_sd) + len(dec_sd)
-    n_matched = n_total - n_unmatched  # incl. buffers intentionally dropped
-    if n_total and n_matched / n_total < min_matched_frac:
+    # fraction over mappable PARAMS only: intentionally-dropped buffers
+    # (relative_position_index / attn_mask, recomputed statically) neither
+    # count as matched nor inflate the denominator — a buffer-heavy checkpoint
+    # with few real param matches must still trip the guard
+    n_mappable = len(enc_sd) + len(dec_sd) - report["dropped_buffers"]
+    n_matched = n_mappable - n_unmatched
+    if n_mappable and n_matched / n_mappable < min_matched_frac:
         raise ValueError(
-            f"load_pretrained({path!r}): only {n_matched}/{n_total} checkpoint "
-            f"keys mapped onto the model (< {min_matched_frac:.0%}) — wrong "
-            f"checkpoint format or architecture mismatch. First unmatched: "
+            f"load_pretrained({path!r}): only {n_matched}/{n_mappable} mappable "
+            f"checkpoint keys mapped onto the model (< {min_matched_frac:.0%}; "
+            f"{report['dropped_buffers']} buffers excluded) — wrong checkpoint "
+            f"format or architecture mismatch. First unmatched: "
             f"{report['unmatched_torch_keys'][:5]}"
         )
     if verbose:

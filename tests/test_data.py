@@ -67,6 +67,116 @@ def test_multilateral_batch_shapes(fake_davis):
     assert set(np.unique(batch["mask"])) <= {0.0, 1.0}
 
 
+@pytest.fixture(scope="module")
+def fake_ytvi(tmp_path_factory):
+    """Three inpainting streams (the YTVI training config: ``scripts/
+    train_youtube.sh`` feeds SEQUENCES/SEQUENCES2/SEQUENCES3)."""
+    import dataclasses
+
+    root = tmp_path_factory.mktemp("ytvi")
+    seqs = {"vid0": 5, "vid1": 4}
+    rng = np.random.default_rng(7)
+    # distinct per-stream pixel content so stream ordering is checkable
+    for si, stream in enumerate(("ff", "eg2", "isvi")):
+        for name, n in seqs.items():
+            d = root / stream / name
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+                arr[..., 0] = 40 * si + 10  # stream fingerprint in channel 0
+                Image.fromarray(arr).save(d / f"{i:05d}.jpg", quality=100)
+    for name, n in seqs.items():
+        d = root / "annot" / name
+        d.mkdir(parents=True)
+        for i in range(n):
+            m = np.zeros((32, 48), np.uint8)
+            m[8:16, 8:24] = 255
+            Image.fromarray(m).save(d / f"{i:05d}.png")
+    return DataConfig(
+        dataset="youtubevos",
+        sequences=str(root / "ff"),
+        sequences2=str(root / "eg2"),
+        sequences3=str(root / "isvi"),
+        annotations=str(root / "annot"),
+        db_info=None,
+        input_res=(16, 16),
+        batch_size=2,
+        length_clip=3,
+        frame_ext="jpg",
+        augment=False,  # ordering checks need raw pixels
+    )
+
+
+def test_triple_stream_collate(fake_ytvi):
+    """3-stream batches follow ``collate_fn_triple`` (``universaldataset.py:
+    175-203``): images = cat([s1, s2, s3]) on batch, masks duplicated x3,
+    stream order preserved."""
+    ds = ClipDataset(fake_ytvi, "train")
+    assert len(ds.stream_roots) == 3
+    loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=0)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (6, 3, 16, 16, 3)
+    assert batch["mask"].shape == (6, 16 * 16)
+    # masks duplicated across all three stream blocks
+    np.testing.assert_array_equal(batch["mask"][:2], batch["mask"][2:4])
+    np.testing.assert_array_equal(batch["mask"][:2], batch["mask"][4:6])
+    # stream blocks keep the root order: undo normalization on channel 0 and
+    # recover each stream's fingerprint (40*si + 10)
+    from mumpy_tpu.configs.data_config import MEAN, STD
+
+    ch0 = batch["image"][..., 0] * STD[0] + MEAN[0]
+    for si in range(3):
+        block = ch0[2 * si : 2 * si + 2]
+        expect = (40 * si + 10) / 255.0
+        # JPEG chroma subsampling shifts the per-channel mean a little;
+        # half the 40/255 stream spacing still separates the streams
+        assert abs(float(block.mean()) - expect) < 0.078, (si, block.mean())
+
+
+def test_triple_stream_augment_consistent(fake_ytvi):
+    """With augmentation on, the same clip-consistent transform applies to all
+    three streams and the mask (one RandAugment draw per clip, ``randaugment.py``
+    usage at ``universaldataset.py:58-61``)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(fake_ytvi, augment=True)
+    ds = ClipDataset(cfg, "train")
+    streams, mask, _, _ = ds.load_clip(0, np.random.default_rng(3))
+    assert len(streams) == 3
+    assert all(s.shape == (3, 16, 16, 3) for s in streams)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    # fingerprints survive any geometric augment (channel 0 is constant per
+    # stream), proving no cross-stream mixing happened
+    from mumpy_tpu.configs.data_config import MEAN, STD
+
+    for si, s in enumerate(streams):
+        ch0 = s[..., 0] * STD[0] + MEAN[0]
+        assert abs(float(ch0.mean()) - (40 * si + 10) / 255.0) < 0.078
+
+
+def test_triple_stream_test_split_uses_primary(fake_ytvi):
+    """The test split serves the PRIMARY stream only (``universaldataset.py``
+    test path), even when three roots are configured."""
+    ds = ClipDataset(fake_ytvi, "test")
+    assert len(ds.stream_roots) == 1
+    loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (1, 3, 16, 16, 3)
+
+
+def test_triple_stream_worker_loader_identical(fake_ytvi):
+    """Process workers reproduce the serial 3-stream batches byte-for-byte."""
+    ds = ClipDataset(fake_ytvi, "train")
+    a = list(DataLoader(ds, 2, shuffle=True, drop_last=True, seed=5))
+    ds2 = ClipDataset(fake_ytvi, "train")
+    b = list(DataLoader(ds2, 2, shuffle=True, drop_last=True, seed=5,
+                        num_workers=2))
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        np.testing.assert_array_equal(x["mask"], y["mask"])
+
+
 def test_test_split_single_stream(fake_davis):
     ds = ClipDataset(fake_davis, "test")
     loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)

@@ -43,8 +43,14 @@ def _mk(c=24, heads=3, n=16, r=8, p_w=1, m_ratio=4):
     return x, mb, w
 
 
+@pytest.mark.parametrize("dw_mode", ["spill", "kernel"])
 @pytest.mark.parametrize("p_w,keep_dropped", [(1, False), (4, True)])
-def test_fused_train_block_grads(p_w, keep_dropped):
+def test_fused_train_block_grads(p_w, keep_dropped, dw_mode, monkeypatch):
+    # both backward forms: "spill" (weight-grad GEMMs in XLA over spilled
+    # activations) and "kernel" (in-kernel f32 dW accumulation — the
+    # production bf16 default, which dtype alone would never select under
+    # this f32 test)
+    monkeypatch.setenv("MUMPY_BWD_DW", dw_mode)
     heads, n, r = 3, 16, 8
     x, mb, w = _mk(heads=heads, n=n, r=r, p_w=p_w)
     keep1 = jnp.ones((r, 1), jnp.float32)
@@ -164,6 +170,32 @@ def test_fused_ln_mlp_train_grads(rows):
         np.testing.assert_allclose(
             np.asarray(gk[1][k]), np.asarray(gr[1][k]), atol=5e-4, rtol=2e-3,
             err_msg=f"weight grad mismatch: {k}")
+
+
+def test_mlp_site_compiled_requires_optin(monkeypatch):
+    """Selecting the mlp train site in COMPILED mode must raise at trace time
+    (the compiled ln_mlp_vjp kernel crashes the TPU worker on the current
+    runtime — PERF.md) unless MUMPY_ALLOW_CRASHING_KERNELS=1 opts in; the
+    interpret mode the CPU suite uses stays allowed."""
+    monkeypatch.setenv("MUMPY_FUSED_TRAIN_SITES", "all")
+    monkeypatch.delenv("MUMPY_ALLOW_CRASHING_KERNELS", raising=False)
+
+    vjp_mod.set_train_mode("compiled")
+    try:
+        with pytest.raises(RuntimeError, match="MUMPY_ALLOW_CRASHING_KERNELS"):
+            vjp_mod.train_site_enabled("mlp")
+        # non-mlp sites unaffected
+        assert vjp_mod.train_site_enabled("block")
+        monkeypatch.setenv("MUMPY_ALLOW_CRASHING_KERNELS", "1")
+        assert vjp_mod.train_site_enabled("mlp")
+    finally:
+        vjp_mod.set_train_mode(None)
+    monkeypatch.delenv("MUMPY_ALLOW_CRASHING_KERNELS", raising=False)
+    vjp_mod.set_train_mode("interpret")
+    try:
+        assert vjp_mod.train_site_enabled("mlp")
+    finally:
+        vjp_mod.set_train_mode(None)
 
 
 def test_xla_reference_matches_flax_block():

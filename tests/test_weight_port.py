@@ -271,6 +271,29 @@ def test_load_pretrained_fails_loudly_on_garbage(tmp_path):
         wp.load_pretrained(params, path, verbose=False)
 
 
+def test_load_pretrained_buffers_dont_inflate_match(tmp_path):
+    """Intentionally-dropped buffers (relative_position_index / attn_mask)
+    must not count toward the matched fraction: a checkpoint that is mostly
+    buffers plus unmappable params still trips the guard (ADVICE r3)."""
+    import torch
+    import jax.numpy as jnp
+    import mumpy_tpu.utils.weight_port as wp
+
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    clip = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+
+    blob = {f"blk{i}.attn.relative_position_index": torch.zeros(4, 4)
+            for i in range(30)}
+    blob.update({f"some.other.layer{i}.weight": torch.zeros(4, 4)
+                 for i in range(10)})
+    path = str(tmp_path / "buffers.pth")
+    torch.save(blob, path)
+    with pytest.raises(ValueError, match="mappable"):
+        wp.load_pretrained(params, path, verbose=False)
+
+
 def _port_with_depths(enc_sd, dec_sd, params, depths):
     """Port with tiny-config view depths instead of the flagship defaults."""
     import functools
