@@ -51,6 +51,7 @@ def ablated_kernel(
     do_ln1=True, do_qkv=True, do_scores=True, do_softmax=True, do_pv=True,
     do_proj=True, do_mlp=True, hoist_softmax=False, scores_scr=None,
     scr3d=False, pack=0, qp_scr=None, kp_scr=None, sp_scr=None,
+    head_batch=False, qhb_scr=None, khb_scr=None, vhb_scr=None,
 ):
     """Copy of swin_block._block_kernel with phase switches.
 
@@ -123,6 +124,38 @@ def ablated_kernel(
                 p, v3, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
+    elif head_batch:
+        # HEAD-BATCHED attention (the PERF.md round-3 lead): copy each head's
+        # hd-lane q/k/v slice into head-major sublane-batched scratches
+        # (heads*tile, npad, hd), then run scores, softmax and p@v as ONE
+        # batched matmul each over all heads (batch dim = heads*tile) instead
+        # of per-head loops.  The per-head work shrinks to 3 lane-slice copies;
+        # mb arrives pre-expanded to (heads*tile, npad, npad) so the bias add
+        # is one elementwise pass (prepare_weights could build that layout on
+        # the host).  Copies are lane-shift VMEM moves — this probe measures
+        # whether they cost less than the per-head matmul dispatch they save.
+        for h in range(heads):
+            qhb_scr[h * tile:(h + 1) * tile] = qkv_scr[:, :, h * hd:(h + 1) * hd]
+            khb_scr[h * tile:(h + 1) * tile] = (
+                qkv_scr[:, :, c + h * hd:c + (h + 1) * hd])
+            vhb_scr[h * tile:(h + 1) * tile] = (
+                qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd])
+        scores_scr[:] = jax.lax.dot_general(
+            qhb_scr[:], khb_scr[:], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + mb_ref[:].astype(jnp.float32)
+        sall = scores_scr[:]
+        sall = jnp.where(key_ids[None] < n_valid, sall, -1e30)
+        m = jnp.max(sall, axis=-1, keepdims=True)
+        e = jnp.exp(sall - m)
+        scores_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
+        ohb = jax.lax.dot_general(
+            scores_scr[:].astype(dtype), vhb_scr[:],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        for h in range(heads):  # sublane value slice -> lane-aligned store
+            o_scr[:, :, h * hd:(h + 1) * hd] = ohb[h * tile:(h + 1) * tile]
     elif scr3d:
         # 3D scratches: per-head q/k/v access is a pure lane slice — no
         # (tile*npad, hd) -> (tile, npad, hd) sublane-splitting value reshape
@@ -258,7 +291,22 @@ def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None
             pltpu.VMEM((tile * npad, 3 * c), dtype),
             pltpu.VMEM((tile * npad, c), dtype),
         ]
-    if abl.get("pack"):
+    if abl.get("head_batch"):
+        # head-batched layout: mb pre-expanded to (heads*tile, npad, npad)
+        mb = mk(heads * tile, npad, npad)
+        scratch += [
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),
+            pltpu.VMEM((heads * tile, npad, hd), dtype),
+            pltpu.VMEM((heads * tile, npad, hd), dtype),
+            pltpu.VMEM((heads * tile, npad, hd), dtype),
+        ]
+
+        def kern(*refs):
+            *io, qkv_scr, o_scr, s_scr, qhb, khb, vhb = refs
+            ablated_kernel(*io, qkv_scr, o_scr, heads=heads, n_valid=n,
+                           scale=hd ** -0.5, scores_scr=s_scr,
+                           qhb_scr=qhb, khb_scr=khb, vhb_scr=vhb, **abl)
+    elif abl.get("pack"):
         P, kb = abl["pack"], 64
         scratch += [
             pltpu.VMEM((heads * tile, npad, npad), jnp.float32),
@@ -284,6 +332,8 @@ def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None
             ablated_kernel(*refs, heads=heads, n_valid=n, scale=hd ** -0.5,
                            **abl)
 
+    mb_spec = pl.BlockSpec(mb.shape, lambda i, nd=mb.ndim: (0,) * nd,
+                           memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((r, npad, c), dtype),
@@ -291,8 +341,7 @@ def build(r, n, c, heads, mlp_ratio, p_w, dtype=jnp.bfloat16, tile_override=None
         in_specs=[
             pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, npad, npad), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            mb_spec,
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -315,6 +364,7 @@ ABLATIONS = {
     "full": {},
     "scr3d": {"scr3d": True},
     "hoist": {"hoist_softmax": True},
+    "headbatch": {"scr3d": True, "head_batch": True},
     "pack2": {"scr3d": True, "pack": 2},
     "pack4": {"scr3d": True, "pack": 4},
     "pack8": {"scr3d": True, "pack": 8},

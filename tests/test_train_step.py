@@ -230,6 +230,51 @@ def test_mid_width_sharded_train_step_with_kernels():
     assert "MIDWIDTH_OK" in proc.stdout, proc.stdout[-500:]
 
 
+def test_tiny_8device_sharded_train_step_with_kernels():
+    """The full v5e-8-equivalent composition — 8 shards x interpret-mode
+    custom-VJP train kernels — green at tiny widths (VERDICT r3 item 6).
+
+    Width scaling is covered by the 4-device mid-width test above; this one
+    pins the 8-way collective composition.  At MID widths the same 8-device
+    run deadlocks in XLA's in-process CPU collectives even with the
+    termination timeout raised to 1800s (threads parked at DIFFERENT
+    collectives — all-gather op 287 vs collective-permute op 3643 — i.e. the
+    GIL-serialized interpret callbacks starve the rendezvous; an upstream
+    CPU-runtime limitation, repro in PERF.md '8-device interpret deadlock').
+    The default 40s termination timeout (rendezvous.cc) would hard-exit the
+    process, so the flag below is required, not cosmetic."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    flags = [t for t in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in t]
+    flags.append("--xla_force_host_platform_device_count=8")
+    if not any("xla_backend_optimization_level" in t for t in flags):
+        flags.append("--xla_backend_optimization_level=0")
+    flags.append("--xla_cpu_collective_call_terminate_timeout_seconds=1800")
+    env["XLA_FLAGS"] = " ".join(flags)
+    check = MID_WIDTH_CHECK.replace("mid_config", "tiny_config").replace(
+        "NDEV = 4", "NDEV = 8")
+    script = (
+        f"import sys; sys.path.insert(0, {root!r}); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_disable_most_optimizations', True); "
+        f"exec({check!r})"
+    )
+    proc = subprocess.run([sys.executable, "-c", script], cwd=root,
+                          env=env, capture_output=True, text=True,
+                          timeout=2400)
+    assert proc.returncode == 0, (
+        f"tiny 8-device subprocess failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-1000:]}\n{proc.stderr[-2000:]}")
+    assert "MIDWIDTH_OK" in proc.stdout, proc.stdout[-500:]
+
+
 def test_uint8_batch_matches_f32(setup):
     """uint8 images normalized on-device give the same loss as the host-
     normalized f32 path (DataLoader normalize_on_host=False contract)."""
