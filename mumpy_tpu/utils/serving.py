@@ -42,12 +42,18 @@ def make_serving_forward(model, variables, mesh=None, example_clip=None):
     from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
 
     if mesh is None or mesh.size == 1:
-        fwd = jax.jit(
-            lambda clip: jax.nn.sigmoid(
-                model.apply(variables, clip, deterministic=True)
+        # variables must be a jit ARGUMENT, not a closure capture: a closed-
+        # over param tree is inlined into the HLO as constants — a multi-GB
+        # compile payload at flagship scale (on the dev tunnel the remote-
+        # compile relay rejects it outright: "HTTP 413: length limit
+        # exceeded"; this is what blocked flagship test.py in round 3).
+        fwd_fn = jax.jit(
+            lambda v, clip: jax.nn.sigmoid(
+                model.apply(v, clip, deterministic=True)
             )
         )
-        return fwd, jax.device_put
+        v_dev = jax.device_put(variables)
+        return (lambda clip: fwd_fn(v_dev, clip)), jax.device_put
 
     if example_clip is not None:
         per_dev = example_clip[: example_clip.shape[0] // mesh.size]
@@ -76,8 +82,10 @@ def make_serving_forward(model, variables, mesh=None, example_clip=None):
         # ("vma on jax.ShapeDtypeStruct must not be None")
         check_vma=False,
     )
-    fwd = jax.jit(lambda clip: smapped(variables, clip))
-    return fwd, (lambda clip: jax.device_put(clip, bsh))
+    # variables as an argument (see the single-device comment above)
+    fwd_fn = jax.jit(smapped)
+    return (lambda clip: fwd_fn(variables, clip)), (
+        lambda clip: jax.device_put(clip, bsh))
 
 
 def prepare_for_inference(

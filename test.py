@@ -33,8 +33,14 @@ def main():
     model_cfg = tiny_config(args.imsize) if args.tiny else multiswin_config(args.imsize)
 
     model = Mumpy(model_cfg)
-    state = create_train_state(
-        model_cfg, OptimConfig(), iter_max=1, rng=jax.random.PRNGKey(0)
+    # ABSTRACT state: eval_shape traces create_train_state on the host only —
+    # no device compile, no init arrays.  Orbax restores real arrays straight
+    # into the abstract target.  (Besides being faster, this matters on the
+    # dev tunnel: the remote-compile window is per-process, and spending it
+    # on model.init left the serving-forward compile hitting "Broken pipe".)
+    state = jax.eval_shape(
+        lambda rng: create_train_state(model_cfg, OptimConfig(), 1, rng),
+        jax.random.PRNGKey(0),
     )
     model_dir = os.path.join(loop_cfg.results_dir, loop_cfg.model_name)
     restored = (
@@ -46,8 +52,23 @@ def main():
         print(f"Loaded checkpoint from {model_dir}")
     else:
         print("WARNING: no checkpoint found; using random init")
+        state = create_train_state(
+            model_cfg, OptimConfig(), iter_max=1, rng=jax.random.PRNGKey(0)
+        )
     # serving mode: capture kernel-ready fused-block operands once
     from mumpy_tpu.utils.serving import prepare_for_inference
+
+    if args.bf16:
+        # bf16 serving (the bench.py configuration): halves the resident
+        # weight footprint and compiles the same program family bench.py
+        # exercises.  The f32 master params stay in the checkpoint; masks are
+        # thresholded on f32 sigmoid either way.  NOTE on this dev tunnel:
+        # the f32 batch-6 serving compile reliably exceeds the remote-compile
+        # HTTP window (~30 min -> "Broken pipe"), so the flagship drive uses
+        # --bf16 -batch_size 32 (PERF.md "flagship accuracy drive").
+        state = state.replace(params=jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, state.params))
 
     bs_example = max(1, args.batch_size)
     example = jnp.zeros(
