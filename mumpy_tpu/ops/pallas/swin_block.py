@@ -65,6 +65,20 @@ def set_mode(mode):
     _FORCED_MODE = mode
 
 
+def softmax_form() -> str:
+    """Inference whole-block attention softmax form, trace-time.
+
+    "perhead" (default): per-head softmax inside the attention loop — faster
+    on the round-4 runtime (stage2v3 706 vs 767 us, stage2v12 542 vs 636;
+    PERF.md "attention-layout probe").  "hoist": round 2's all-head hoisted
+    softmax, which won on THAT runtime (857 -> 673 us) — kept for per-runtime
+    re-A/B via MUMPY_SOFTMAX_FORM=hoist (ab_bench token ``hoistsm``)."""
+    import os
+
+    return ("hoist" if os.environ.get("MUMPY_SOFTMAX_FORM", "").strip()
+            == "hoist" else "perhead")
+
+
 def attention_mode() -> str:
     """Dispatch mode for the fused block: "compiled" on TPU by default (it
     measured 2.3x faster than the XLA per-op path), "interpret" for CPU tests,
@@ -186,19 +200,39 @@ def _block_kernel(
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:].astype(jnp.float32)).astype(dtype).reshape(tile, npad, 3 * c)
 
-    # HOISTED SOFTMAX: per-head scores land in one (heads*tile, npad, npad)
-    # f32 scratch and a SINGLE masked softmax runs over all heads — 16 small
-    # per-head softmaxes cost ~22% of the whole kernel in VPU dispatch at the
-    # stage-2 view3 shape (kernel_probe: full 857us, hoist 673, no_softmax 670)
-    _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
-                    scale=scale)
-    for h in range(heads):
-        v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
-        o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
-            p, v3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+    # Softmax layout is RUNTIME-SENSITIVE (PERF.md "attention-layout probe"):
+    # round 2's hoisted all-head softmax (one (heads*tile, npad, npad) f32
+    # scratch, one softmax — then 857 -> 673 us at stage2v3) measured SLOWER
+    # than the plain per-head form on the round-4 runtime (767 vs 706 us).
+    # Both forms stay implemented; `softmax_form()` picks at trace time
+    # (MUMPY_SOFTMAX_FORM=hoist reverts).  Masking rides in mb either way
+    # (key-pad columns pre-filled with -1e30; no masked-where pass).
+    if softmax_form() == "perhead":
+        for h in range(heads):
+            q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
+            k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
+            v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            scores = jax.lax.dot_general(
+                q3, k3, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale + mb_ref[h].astype(jnp.float32)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                p, v3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+    else:
+        _hoisted_scores(qkv_scr, mb_ref, s_scr, heads=heads, n_valid=n_valid,
+                        scale=scale)
+        for h in range(heads):
+            v3 = qkv_scr[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            p = s_scr[h * tile:(h + 1) * tile].astype(dtype)
+            o_scr[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                p, v3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
     proj = jax.lax.dot_general(
         o_scr[:].reshape(tile * npad, c), wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

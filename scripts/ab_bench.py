@@ -81,6 +81,10 @@ def main():
         os.environ["MUMPY_SMALL_CONV"] = "1" if "smallconv" in tokens else "0"
         # "latedap" reverts the DAP-before-upsample reorder in decoder_5
         os.environ["MUMPY_DAP_EARLY"] = "0" if "latedap" in tokens else "1"
+        # "hoistsm" reverts the whole-block kernel to the round-2 hoisted
+        # all-head softmax (default is per-head since the round-4 runtime)
+        os.environ["MUMPY_SOFTMAX_FORM"] = ("hoist" if "hoistsm" in tokens
+                                            else "perhead")
         if "bigtiles" in tokens:  # 2MB per-buffer tile cap (default 768KB)
             os.environ["MUMPY_PER_BUF_CAP_KB"] = "2048"
         else:
@@ -88,7 +92,8 @@ def main():
         sites = ",".join(t for t in tokens
                          if t not in ("nounroll", "slowdec", "cvawide",
                                       "bigtiles", "nodedup", "dapstrided",
-                                      "padcarry", "smallconv", "latedap"))\
+                                      "padcarry", "smallconv", "latedap",
+                                      "hoistsm"))\
             or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
