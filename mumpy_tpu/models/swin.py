@@ -522,6 +522,7 @@ class SwinBlock(nn.Module):
         wins = pallas_sb.fused_swin_block_prepared(
             wins, prepared, heads=self.num_heads, n=n, p_w=p_w,
             interpret=pallas_sb.attention_mode() == "interpret",
+            form=pallas_sb.softmax_form(),
         )
         if pre_windowed:
             if shift > 0:
@@ -730,6 +731,7 @@ class VitBlock(nn.Module):
             return pallas_sb.fused_swin_block_prepared(
                 x, prepared, heads=h, n=n, p_w=1,
                 interpret=pallas_sb.attention_mode() == "interpret",
+                form=pallas_sb.softmax_form(),
             )
 
         # fallback halves: LN+MSA+residual kernel for the attention, LN-MLP

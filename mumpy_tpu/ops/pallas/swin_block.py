@@ -170,12 +170,19 @@ def _hoisted_scores(qkv_scr, mb_ref, s_scr, *, heads, n_valid, scale,
     s_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _scores_scratch_bytes(heads: int, npad: int, form: str) -> int:
+    """Per-window bytes of the all-head f32 scores scratch — only the hoisted
+    softmax form allocates it (ADVICE r4: the perhead default must not budget
+    VMEM for, or allocate, a scratch it never reads)."""
+    return heads * npad * npad * 4 if form == "hoist" else 0
+
+
 def _block_kernel(
     x_ref, mb_ref,
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    out_ref, qkv_scr, o_scr, s_scr,
-    *, heads, n_valid, scale,
+    out_ref, qkv_scr, o_scr, s_scr=None,
+    *, heads, n_valid, scale, form="perhead",
 ):
     tile, npad, c = x_ref.shape
     hd = c // heads
@@ -207,7 +214,7 @@ def _block_kernel(
     # Both forms stay implemented; `softmax_form()` picks at trace time
     # (MUMPY_SOFTMAX_FORM=hoist reverts).  Masking rides in mb either way
     # (key-pad columns pre-filled with -1e30; no masked-where pass).
-    if softmax_form() == "perhead":
+    if form == "perhead":
         for h in range(heads):
             q3 = qkv_scr[:, :, h * hd:(h + 1) * hd]
             k3 = qkv_scr[:, :, c + h * hd:c + (h + 1) * hd]
@@ -347,7 +354,8 @@ def _choose_tile(r: int, p_w: int, npad: int, c: int, heads: int,
     return best, max(1, best // p_w), max(1, p_w // best)
 
 
-def prepare_weights(weights, mask_bias, *, heads: int, r: int):
+def prepare_weights(weights, mask_bias, *, heads: int, r: int,
+                    form: str = None):
     """Build the kernel-ready operand dict: per-head weight splits, reshaped
     biases, and the padded/tiled/transposed additive term.
 
@@ -366,7 +374,8 @@ def prepare_weights(weights, mask_bias, *, heads: int, r: int):
         r, p_w, npad, c, heads, wdtype.itemsize,
         extra_weight_bytes=2 * c * m * wdtype.itemsize,
         scratch_bytes_per_window=(npad * 4 * c * wdtype.itemsize
-                                  + heads * npad * npad * 4),
+                                  + _scores_scratch_bytes(
+                                      heads, npad, form or softmax_form())),
     )
 
     # store the additive term in the weight dtype: the XLA path adds the mask in
@@ -405,9 +414,10 @@ _WL_ORDER = ("ln1s", "ln1b", "wqkv", "bqkv",
              "wproj", "bproj", "ln2s", "ln2b", "wfc1", "bfc1", "wfc2", "bfc2")
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "n", "p_w", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "n", "p_w", "interpret", "form"))
 def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
-                              interpret: bool = False):
+                              interpret: bool = False, form: str = None):
     """Run one full Swin block on partitioned windows with pre-built operands.
 
     x: (R, N, C) window tokens (R = batch * windows, window-major within batch),
@@ -422,11 +432,15 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     scale = hd**-0.5
     npad = -(-n // 8) * 8
     wdtype = prepared["wqkv"].dtype
+    # ``form`` is a STATIC arg so the jit cache distinguishes the two layouts;
+    # None defers to the env gate at trace time (direct callers should pass
+    # softmax_form() explicitly — see models/swin.py)
+    form = form or softmax_form()
     tile, _, _ = _choose_tile(
         r, p_w, npad, c, heads, wdtype.itemsize,
         extra_weight_bytes=2 * c * prepared["wfc1"].shape[1] * wdtype.itemsize,
         scratch_bytes_per_window=(npad * 4 * c * wdtype.itemsize
-                                  + heads * npad * npad * 4),
+                                  + _scores_scratch_bytes(heads, npad, form)),
     )
     mbw = prepared["mb"].shape[1]
     if mbw == 1:
@@ -462,8 +476,16 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
         transcendentals=r * n * m,
     )
 
+    scratch_shapes = [
+        pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # qkv
+        pltpu.VMEM((tile, npad, c), x.dtype),      # per-head attn outputs
+    ]
+    if form == "hoist":  # all-head scores/probs scratch — hoist form only
+        scratch_shapes.append(
+            pltpu.VMEM((heads * tile, npad, npad), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_block_kernel, heads=heads, n_valid=n, scale=scale),
+        functools.partial(_block_kernel, heads=heads, n_valid=n, scale=scale,
+                          form=form),
         out_shape=jax.ShapeDtypeStruct((r, npad, c), x.dtype),
         grid=(r // tile,),
         in_specs=[
@@ -473,11 +495,7 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
             ),
         ] + [full(a) for a in wl],
         out_specs=pl.BlockSpec((tile, npad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile, npad, 3 * c), x.dtype),  # qkv
-            pltpu.VMEM((tile, npad, c), x.dtype),      # per-head attn outputs
-            pltpu.VMEM((heads * tile, npad, npad), jnp.float32),  # scores/probs
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=cost,
         interpret=interpret,
         compiler_params=kernel_compiler_params(),
@@ -485,15 +503,17 @@ def fused_swin_block_prepared(x, prepared, *, heads: int, n: int, p_w: int,
     return out if rows_in == npad else out[:, :n, :]
 
 
-def fused_swin_block(x, mask_bias, weights, *, heads: int, interpret: bool = False):
+def fused_swin_block(x, mask_bias, weights, *, heads: int,
+                     interpret: bool = False, form: str = None):
     """Convenience entry: prepare operands inline, then run the kernel.
 
     x: (R, N, C) window tokens; mask_bias: (P, H, N, N) additive term with
     period P in windows; weights: dict with ln1/ln2 (scale, bias), qkv
     (C,3C)+(3C,), proj (C,C)+(C,), fc1 (C,M)+(M,), fc2 (M,C)+(C,).
     """
-    prepared = prepare_weights(weights, mask_bias, heads=heads, r=x.shape[0])
+    prepared = prepare_weights(weights, mask_bias, heads=heads, r=x.shape[0],
+                               form=form)
     return fused_swin_block_prepared(
         x, prepared, heads=heads, n=x.shape[1], p_w=mask_bias.shape[0],
-        interpret=interpret,
+        interpret=interpret, form=form,
     )

@@ -401,6 +401,14 @@ def load_pretrained(
     # with few real param matches must still trip the guard
     n_mappable = len(enc_sd) + len(dec_sd) - report["dropped_buffers"]
     n_matched = n_mappable - n_unmatched
+    if n_mappable == 0 and (enc_sd or dec_sd):
+        # all-buffer checkpoint: every key was a dropped buffer, zero params
+        # ported — certainly the wrong file; don't report "success" at 0/0
+        raise ValueError(
+            f"load_pretrained({path!r}): checkpoint contains only "
+            f"{report['dropped_buffers']} non-parameter buffers and no "
+            f"mappable parameters — wrong checkpoint file"
+        )
     if n_mappable and n_matched / n_mappable < min_matched_frac:
         raise ValueError(
             f"load_pretrained({path!r}): only {n_matched}/{n_mappable} mappable "

@@ -133,12 +133,16 @@ def test_prepared_serving_path_matches():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.parametrize("form", ["perhead", "hoist"])
 @pytest.mark.parametrize("case", [
     dict(nW=4, b=2, n=49, c=96, heads=3, period=1),     # unshifted, small period
     dict(nW=4, b=2, n=49, c=96, heads=3, period=4),     # shifted: period == nW
     dict(nW=12, b=2, n=16, c=64, heads=2, period=12),   # larger window count
 ])
-def test_fused_swin_block_matches_reference(case):
+def test_fused_swin_block_matches_reference(case, form):
+    """Both softmax layouts stay parity-covered: the non-default ``hoist``
+    form is kept for per-runtime re-A/B (PERF.md "attention-layout probe")
+    and must not silently rot (ADVICE r4)."""
     rng = np.random.default_rng(0)
     r = case["nW"] * case["b"]
     n, c, heads = case["n"], case["c"], case["heads"]
@@ -147,7 +151,7 @@ def test_fused_swin_block_matches_reference(case):
     w = _make_weights(rng, c, 4 * c)
     assert supported(c, 4 * c, n)
 
-    got = fused_swin_block(x, mb, w, heads=heads, interpret=True)
+    got = fused_swin_block(x, mb, w, heads=heads, interpret=True, form=form)
     ref = _reference_block(x, mb, w, heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-3)
 

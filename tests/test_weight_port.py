@@ -294,6 +294,27 @@ def test_load_pretrained_buffers_dont_inflate_match(tmp_path):
         wp.load_pretrained(params, path, verbose=False)
 
 
+def test_load_pretrained_all_buffer_checkpoint_raises(tmp_path):
+    """A checkpoint consisting ENTIRELY of dropped buffers has zero mappable
+    params; it must raise instead of 'loading' nothing (ADVICE r4)."""
+    import torch
+    import jax.numpy as jnp
+    import mumpy_tpu.utils.weight_port as wp
+
+    cfg = tiny_config()
+    model = Mumpy(cfg)
+    clip = jnp.zeros((1, 3, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+
+    blob = {f"blk{i}.attn.relative_position_index": torch.zeros(4, 4)
+            for i in range(8)}
+    blob.update({f"blk{i}.attn_mask": torch.zeros(4, 4) for i in range(8)})
+    path = str(tmp_path / "only_buffers.pth")
+    torch.save(blob, path)
+    with pytest.raises(ValueError, match="only.*buffers|non-parameter"):
+        wp.load_pretrained(params, path, verbose=False)
+
+
 def _port_with_depths(enc_sd, dec_sd, params, depths):
     """Port with tiny-config view depths instead of the flagship defaults."""
     import functools
