@@ -70,7 +70,9 @@ def main():
     # (scripts/batch_scaling.py: 8/16/32 -> 247/252/259 frames/s)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--rounds", type=int, default=3)
+    # 5 rounds: enough per-round ratio samples to quote median + min/max
+    # (the spread fields below); each round is ~5s of chain time at batch 32
+    p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--no-control", action="store_true",
                    help="skip the pinned pure-XLA control (halves compile time)")
@@ -113,9 +115,13 @@ def main():
                 return jnp.mean(probs) * 1e-6  # scalar carry -> serial dep
 
             t0 = time.time()
-            step.lower(v, clip, jnp.float32(0.0)).compile()
+            # Keep and invoke the AOT-compiled executable directly (ADVICE
+            # r4): run_chain must never fall back to the jitted wrapper,
+            # which could re-trace under the AMBIENT env after CONTROL_ENV
+            # is restored if a future JAX separates the AOT and call caches.
+            compiled = step.lower(v, clip, jnp.float32(0.0)).compile()
             print(f"[compile] {name}: {time.time() - t0:.0f}s", flush=True)
-            return step, v
+            return compiled, v
         finally:
             for k, old in saved.items():
                 if old is None:
@@ -160,7 +166,16 @@ def main():
     if "control" in fps:
         ctrl = float(np.median(fps["control"]))
         out["control_fps"] = round(ctrl, 2)
-        out["candidate_over_control"] = round(cand / ctrl, 4)
+        # PER-ROUND ratios (candidate round i / control round i — the chains
+        # are interleaved, so pairing by round cancels drift), quoted as
+        # median + min/max so a few-percent cross-round move is legible as
+        # noise or signal (VERDICT r4 weak #3).  Convention (PERF.md): compare
+        # rounds on the median; treat moves inside the min..max band as noise.
+        ratios = sorted(c / k for c, k in zip(fps["candidate"], fps["control"]))
+        out["candidate_over_control"] = round(float(np.median(ratios)), 4)
+        out["ratio_min"] = round(ratios[0], 4)
+        out["ratio_max"] = round(ratios[-1], 4)
+        out["ratio_rounds"] = len(ratios)
         out["control"] = "pure-XLA forward, pinned env (bench.py CONTROL_ENV)"
     print(json.dumps(out))
 
