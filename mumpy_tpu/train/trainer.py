@@ -229,6 +229,9 @@ def train_loop(
     model_dir = os.path.join(loop_cfg.results_dir, loop_cfg.model_name)
     writer = MetricsWriter(model_dir)
     rng = jax.random.PRNGKey(loop_cfg.seed)
+    # Async checkpoint saves (VERDICT r4 weak #4): the ~2 min/epoch blocking
+    # device fetch overlaps the next epoch's compute; readers wait() first.
+    saver = ckpt_lib.AsyncSaver()
 
     best_val_loss = loop_cfg.best_val_loss
     acc_patience = 0
@@ -331,7 +334,7 @@ def train_loop(
             continue
         if mt < best_val_loss - loop_cfg.min_delta:
             best_val_loss = mt
-            ckpt_lib.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})
+            saver.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})
             acc_patience = 0
         else:
             acc_patience += 1
@@ -339,6 +342,7 @@ def train_loop(
                     and not reload_fired):
                 # reload best checkpoint ONCE and keep going (``train.py:449-459``)
                 reload_fired = True
+                saver.wait()  # the best save may still be writing
                 restored = ckpt_lib.load_latest(model_dir, state)
                 if restored is not None:
                     state = restored
@@ -346,7 +350,8 @@ def train_loop(
                 best_val_loss = 1000.0
                 mt_val = -1.0
         if e == loop_cfg.max_epoch // 2 - 1 or e == loop_cfg.max_epoch - 1:
-            ckpt_lib.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})
+            saver.save(model_dir, state, e, extra={"best_val_loss": best_val_loss})
 
+    saver.wait()  # don't return (test.py may read the run dir) mid-write
     writer.close()
     return state

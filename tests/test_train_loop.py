@@ -36,11 +36,20 @@ def _run_loop(monkeypatch, tmp_path, val_losses, loop_kwargs=None):
         return None, jtrain, jval
 
     monkeypatch.setattr(trainer_mod, "make_jitted_steps", fake_make_jitted_steps)
+
+    class FakeAsyncSaver:  # records synchronously; wait() is a no-op
+        def save(self, d, s, e, extra=None):
+            events.append(("save", e))
+
+        def wait(self):
+            pass
+
     monkeypatch.setattr(
         trainer_mod, "ckpt_lib",
         type("L", (), {
             "save": staticmethod(
                 lambda d, s, e, extra=None: events.append(("save", e))),
+            "AsyncSaver": FakeAsyncSaver,
             "load_latest": staticmethod(
                 lambda d, s: (events.append(("reload", None)) or FakeState("best"))),
         }),
