@@ -75,6 +75,16 @@ def fused_mlp_tail_train(module, x, dim: int, dp, drop: float):
             or not pallas_sbv.train_site_enabled("mlp")
             or not module.has_variable("params", "norm2")):
         return None
+    # MUMPY_MLP_SITE_WIDTHS (trace-time, comma list of channel widths):
+    # restrict the mlp-site kernel to specific instance widths — the bisect
+    # knob for the composed ln_mlp crash (PERF.md "ln_mlp crash bisect"):
+    # the kernel is standalone-clean at every production shape, so the fault
+    # needs composition; filtering by width halves the instance set without
+    # changing the surrounding program.
+    import os
+    widths = os.environ.get("MUMPY_MLP_SITE_WIDTHS", "").strip()
+    if widths and str(dim) not in {t.strip() for t in widths.split(",")}:
+        return None
     v = module.variables["params"]
     w1 = v["mlp"]["fc1"]["kernel"]
     if not pallas_lmv.train_supported(dim, w1.shape[-1], w1.dtype.itemsize, drop):

@@ -73,15 +73,24 @@ class AsyncSaver:
     previous one (an epoch save that cannot finish within an epoch would
     otherwise queue without bound).  Exceptions from the background thread are
     re-raised at the next ``save``/``wait`` so failures are not silent.
+
+    ``MUMPY_ASYNC_CKPT=0`` makes every save synchronous (snapshot-free): on a
+    1-core host the background fetch/serialize thread competes with the data
+    loader for the only core, so overlap can cost more than it hides; the
+    async default is sized for multi-core production hosts.
     """
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
         self._exc: Optional[BaseException] = None
+        self._sync = os.environ.get("MUMPY_ASYNC_CKPT", "1") in ("0", "off")
 
     def save(self, model_dir: str, state: Any, epoch: int,
              extra: Optional[dict] = None) -> None:
         self.wait()
+        if self._sync:
+            _write(model_dir, state, epoch, extra)
+            return
         snap = _snapshot(state)
 
         def run():

@@ -49,6 +49,18 @@ CASES = {
     # representative cross-block tails (stage dims x mlp ratio 4)
     "cross_s0_grad": (37632, 96, 384, "bfloat16", True),
     "cross_s2_grad": (2352, 512, 2048, "bfloat16", True),
+    # Round 5: the REMAINING production instances — the round-4 "all 8
+    # production shapes" sweep was collected per-(rows,c,m) FAMILY and missed
+    # these six; an eval_shape recount of the flagship train step (batch 12)
+    # shows 9 distinct instances.  The big view-3 rows (112896, 28224) were
+    # never run standalone — candidate culprits for the composed-only crash.
+    "v3_s0_grad": (112896, 128, 512, "bfloat16", True),
+    "v3_s1_grad": (28224, 256, 1024, "bfloat16", True),
+    "v12_s1_grad": (9408, 192, 768, "bfloat16", True),
+    "v3_s2_grad": (7056, 512, 2048, "bfloat16", True),
+    "v12_s2_grad": (2352, 384, 1536, "bfloat16", True),
+    "v3_s3_grad": (1764, 1024, 4096, "bfloat16", True),
+    "merged_vit_grad": (588, 768, 3072, "bfloat16", True),
 }
 
 
@@ -126,15 +138,108 @@ def run_case(name: str):
     print(f"[{name}] OK value={float(v):.4f}", flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Composed bisect (round 5, VERDICT r4 item 2).  Round-4 state: the kernel is
+# standalone-CLEAN at all 8 production shapes, but the mlp site ALONE inside
+# the FULL flagship train step kills the worker.  These cases halve the
+# COMPOSED program two ways, each in a fresh subprocess:
+#   * depth: reduced-stage flagship (all view depths (1,1,1,1), 2-layer global
+#     ViT) — same instance shapes, ~10x smaller surrounding program (also
+#     compiles ~10x faster through the tunnel);
+#   * instance: full program, MUMPY_MLP_SITE_WIDTHS restricting the kernel to
+#     one channel width (96 / 384 / 512 / 768 — the production instance set).
+# name -> (reduced_model, widths or None)
+COMPOSED_CASES = {
+    "reduced_all_widths": (True, None),
+    "reduced_vit_only": (True, "768"),
+    "reduced_cross_only": (True, "96,128,192,256,384,512"),
+    "full_vit_only": (False, "768"),
+    "full_s0_only": (False, "96"),
+}
+
+
+def run_composed(name: str, batch: int = 12):
+    """One flagship (or reduced-stage flagship) train step with ONLY the mlp
+    train-kernel site enabled, optionally width-filtered.  Crashing cases kill
+    the TPU worker (and this process); the parent records rc != 0."""
+    reduced, widths = COMPOSED_CASES[name]
+    os.environ["MUMPY_FUSED_TRAIN_SITES"] = "mlp"
+    os.environ["MUMPY_ALLOW_CRASHING_KERNELS"] = "1"
+    if widths:
+        os.environ["MUMPY_MLP_SITE_WIDTHS"] = widths
+    else:
+        os.environ.pop("MUMPY_MLP_SITE_WIDTHS", None)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mumpy_tpu.ops.pallas.swin_block_vjp as vjp_mod
+    from mumpy_tpu.configs.model_config import multiswin_config
+    from mumpy_tpu.train.optim import OptimConfig
+    from mumpy_tpu.train.trainer import create_train_state, make_jitted_steps
+
+    cfg = multiswin_config()
+    if reduced:
+        views = tuple(dataclasses.replace(v, depths=(1, 1, 1, 1))
+                      for v in cfg.views)
+        ge = dataclasses.replace(cfg.global_encoder, num_layers=2)
+        cfg = dataclasses.replace(cfg, views=views, global_encoder=ge)
+    rng = np.random.default_rng(0)
+    b = {
+        "image": jnp.asarray(rng.standard_normal(
+            (batch, 3, 224, 224, 3)), jnp.float32),
+        "mask": jnp.asarray(
+            (rng.uniform(size=(batch, 224 * 224)) > 0.9), jnp.float32),
+    }
+    vjp_mod.set_train_mode("compiled")
+    state = create_train_state(cfg, OptimConfig(), iter_max=1000,
+                               rng=jax.random.PRNGKey(0))
+    _, jtrain, _ = make_jitted_steps(mesh=None, compute_dtype=jnp.bfloat16)
+    state, m = jtrain(state, b, jax.random.PRNGKey(1))
+    print(f"[{name}] OK loss={float(m['total']):.4f}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--case", default=None)
     p.add_argument("--collect", action="store_true")
+    p.add_argument("--composed", action="store_true",
+                   help="run the composed (full-train-step) bisect cases")
+    p.add_argument("--composed-case", default=None)
     p.add_argument("--timeout", type=int, default=900,
                    help="per-case compile+run budget (tunnel compiles are slow)")
     args = p.parse_args()
     if args.collect:
         collect_shapes()
+        return
+    if args.composed_case:
+        run_composed(args.composed_case)
+        return
+    if args.composed:
+        results = {}
+        for name in COMPOSED_CASES:
+            print(f"=== {name} {COMPOSED_CASES[name]} ===", flush=True)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--composed-case", name],
+                    timeout=args.timeout, capture_output=True, text=True,
+                )
+                ok = r.returncode == 0 and "OK" in r.stdout
+                results[name] = "PASS" if ok else f"FAIL rc={r.returncode}"
+                tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+            except subprocess.TimeoutExpired:
+                results[name] = "TIMEOUT"
+                tail = []
+            for line in tail:
+                print("   ", line)
+            print(f"--> {results[name]}", flush=True)
+        print("\ncomposed bisect table:")
+        for name, res in results.items():
+            print(f"  {name:22s} {COMPOSED_CASES[name]!s:36s} {res}")
         return
     if args.case:
         run_case(args.case)
