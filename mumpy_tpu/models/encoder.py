@@ -29,7 +29,9 @@ from ..ops.dct import faf
 from ..ops.pallas import attn_ln_vjp as pallas_alv
 from ..ops.pallas import swin_block as pallas_sb
 from ..ops.pallas import swin_block_vjp as pallas_sbv
-from ..ops.window import partition_tokens, unpartition_tokens, window_partition
+from ..ops.pallas import swin_pair as pallas_pair
+from ..ops.window import (partition_tokens, shifted_window_mask,
+                          unpartition_tokens, window_partition)
 from .deformable import CVAModule
 from .swin import (Mlp, PatchMerging, SwinBlock, VitBlock, WindowAttention,
                    drop_path, fused_attn_branch, fused_mlp_tail,
@@ -257,6 +259,9 @@ class PlainBlockPair(nn.Module):
 
     @nn.compact
     def __call__(self, x, dp_rates):
+        fused = self._fused_pair(x)
+        if fused is not None:
+            return fused, None
         kw = dict(
             dim=self.dim, input_resolution=self.input_resolution,
             num_heads=self.num_heads, window_size=self.window_size,
@@ -269,6 +274,74 @@ class PlainBlockPair(nn.Module):
             x, self.deterministic, dp_rates[1], pre_windowed=self.pre_windowed
         )
         return x, None
+
+    def _fused_pair(self, x):
+        """Whole-PAIR kernel dispatch (``ops/pallas/swin_pair.py``): both
+        blocks of the scan step in one launch with the shift reassembly done
+        in VMEM — deletes the two shift gathers and the inter-kernel HBM
+        round-trip.  Returns None (XLA / per-block path) unless eligible:
+        inference, window-domain unpadded carry, shifted pair, gate on
+        (MUMPY_PAIR_FUSION; ab_bench token ``pairfuse``)."""
+        if not (self.deterministic and self.pre_windowed
+                and pallas_pair.pair_fusion_enabled()
+                and not self.is_initializing()
+                and pallas_sb.attention_mode() != "off"):
+            return None
+        h, w = self.input_resolution
+        window, shift = self.window_size, self.shift_size
+        if min(h, w) <= window:
+            window, shift = min(h, w), 0
+        n = window * window
+        if shift <= 0 or x.shape[1] != n:  # padded carry / unshifted pair
+            return None
+        gh, gw = self.temporal_dim * h, w
+        nwh, nww = gh // window, gw // window
+        params = self.variables.get("params", {})
+        if "shifted" not in params or "plain" not in params:
+            return None
+        fc1 = params["shifted"]["mlp"]["fc1"]["kernel"]
+        if not pallas_pair.pair_supported(
+                self.dim, fc1.shape[-1], n, nwh * nww, fc1.dtype.itemsize):
+            return None
+
+        def compute_prepared():
+            def wdict(sub):
+                v = params[sub]
+                return {
+                    "ln1_scale": v["norm1"]["scale"], "ln1_bias": v["norm1"]["bias"],
+                    "qkv_kernel": v["attn"]["qkv"]["kernel"],
+                    "qkv_bias": v["attn"]["qkv"]["bias"],
+                    "proj_kernel": v["attn"]["proj"]["kernel"],
+                    "proj_bias": v["attn"]["proj"]["bias"],
+                    "ln2_scale": v["norm2"]["scale"], "ln2_bias": v["norm2"]["bias"],
+                    "fc1_kernel": v["mlp"]["fc1"]["kernel"],
+                    "fc1_bias": v["mlp"]["fc1"]["bias"],
+                    "fc2_kernel": v["mlp"]["fc2"]["kernel"],
+                    "fc2_bias": v["mlp"]["fc2"]["bias"],
+                }
+
+            bias_s = rel_pos_bias(
+                params["shifted"]["attn"]["relative_position_bias_table"],
+                window, window)
+            bias_p = rel_pos_bias(
+                params["plain"]["attn"]["relative_position_bias_table"],
+                window, window)
+            mask = shifted_window_mask(gh, gw, window, shift)
+            mb_s = mask[:, None].astype(bias_s.dtype) + bias_s[None]
+            return pallas_pair.prepare_pair(
+                wdict("shifted"), wdict("plain"), mb_s, bias_p[None],
+                wdtype=fc1.dtype)
+
+        if self.has_variable("prepared", "pair"):
+            prepared = self.get_variable("prepared", "pair")
+        elif self.is_mutable_collection("prepared"):
+            prepared = self.variable("prepared", "pair", compute_prepared).value
+        else:
+            prepared = compute_prepared()
+        return pallas_pair.fused_pair_prepared(
+            x, prepared, heads=self.num_heads, w=window, s=shift,
+            nwh=nwh, nww=nww,
+            interpret=pallas_sb.attention_mode() == "interpret")
 
 
 class ThreeViewStages(nn.Module):

@@ -89,11 +89,14 @@ def main():
             os.environ["MUMPY_PER_BUF_CAP_KB"] = "2048"
         else:
             os.environ.pop("MUMPY_PER_BUF_CAP_KB", None)
+        # "pairfuse" opts into the whole-PAIR kernel for the scanned stage-2
+        # pairs (ops/pallas/swin_pair.py; default off)
+        os.environ["MUMPY_PAIR_FUSION"] = "1" if "pairfuse" in tokens else "0"
         sites = ",".join(t for t in tokens
                          if t not in ("nounroll", "slowdec", "cvawide",
                                       "bigtiles", "nodedup", "dapstrided",
                                       "padcarry", "smallconv", "latedap",
-                                      "hoistsm"))\
+                                      "hoistsm", "pairfuse"))\
             or "none"
         os.environ["MUMPY_FUSED_ATTN_SITES"] = sites
         os.environ["MUMPY_FUSED_BLOCK"] = (
