@@ -52,6 +52,11 @@ def _fill(frame, style, rng, size):
         return np.clip(noise, 0, 255).astype(np.uint8)
     if style == "copymove":
         return np.roll(frame, (h // 3, w // 3), axis=(0, 1))
+    if style == "median":
+        # non-linear smoothing: same artifact FAMILY as blur/resample (the
+        # low-pass footprint all real inpainting methods share) but a distinct
+        # construction — the held-out "unseen method" of the FVI analog
+        return np.asarray(img.filter(ImageFilter.MedianFilter(9)))
     raise ValueError(f"unknown forgery style {style!r}")
 
 
