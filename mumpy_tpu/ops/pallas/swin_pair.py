@@ -19,11 +19,13 @@ Only stage-2 shapes have pairs in the published model (14x14 or 42x14 token
 grids, window 7, shift 3 -> 2x2 / 6x2 window grids), so slabs are small
 (<= 0.7 MB) and whole-image residency is cheap.
 
-Measured (round 5, interleaved ab_bench at batch 32 — see PERF.md): the pair
-kernel is end-to-end NEUTRAL on the tunnel v5e (ratio within spread of the
-per-block path): the two XLA shift gathers + inter-kernel round-trip it
-deletes were already DMA-shadowed.  Kept OFF by default; MUMPY_PAIR_FUSION=1
-/ ab_bench token ``pairfuse`` enables for per-runtime re-A/B.
+Measured (round 5, interleaved ab_bench at batch 32 — see PERF.md): per-block
+99.88 ms/step vs whole-pair 96.15 = **+3.7% end-to-end** (320.3 -> 332.3
+f/s), the first end-to-end serving move since round 2; chip_parity PASS with
+the kernel on (f32 1.55e-2 vs XLA, at the shared MXU noise floor).  Default
+ON; ``MUMPY_PAIR_FUSION=0`` / ab_bench token ``pairfuse`` for per-runtime
+re-A/B.  Mosaic compile is slow cold (~18 min — the unrolled reassembly
+copies) and cached thereafter.
 
 Restrictions (``pair_supported``): inference only; unpadded window carry
 (rows == window^2); both blocks' weights + one slab tile must fit VMEM.
@@ -49,11 +51,11 @@ from .swin_block import (_erf, _ln, kernel_compiler_params, vmem_limit_bytes)
 
 
 def pair_fusion_enabled() -> bool:
-    """Trace-time gate (default OFF — measured end-to-end neutral, see module
-    docstring); MUMPY_PAIR_FUSION=1 / ab_bench token ``pairfuse`` opts in."""
+    """Trace-time gate (default ON — +3.7% end-to-end, see module docstring);
+    MUMPY_PAIR_FUSION=0 reverts (ab_bench token ``pairfuse`` toggles)."""
     import os
 
-    return os.environ.get("MUMPY_PAIR_FUSION", "0") not in ("0", "off", "")
+    return os.environ.get("MUMPY_PAIR_FUSION", "1") not in ("0", "off", "")
 
 
 def pair_supported(c: int, mlp_hidden: int, n: int, nw: int,
