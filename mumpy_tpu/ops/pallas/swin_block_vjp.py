@@ -81,31 +81,20 @@ def train_site_enabled(site: str) -> bool:
     VitBlock LN+MLP tails (ops/pallas/ln_mlp_vjp.py).  Comma list or
     "all"/"none"; TRACE-TIME only, like models.swin.fused_site_enabled.
 
-    Default is "block,cross": the compiled ln_mlp_vjp kernel crashes the TPU
-    worker on the current axon runtime (round 3; reproduced at round-2 HEAD
-    too, so it is a runtime regression, not a kernel change) and it measured
-    perf-neutral in round 2 — off until the fault is root-caused (PERF.md
-    "ln_mlp worker crash").  Because round-2-era docs name
-    ``MUMPY_FUSED_TRAIN_SITES=all`` as a default, selecting the mlp site in
-    COMPILED mode refuses at trace time unless
-    ``MUMPY_ALLOW_CRASHING_KERNELS=1`` additionally opts in — a stale env var
-    must raise in-process, not kill the TPU worker."""
+    Default is "block,cross,mlp" again (the round-2 set): the round-3 "mlp
+    crashes the TPU worker" regression was root-caused by the round-5 bisect
+    to ONE instance — the c=1024/m=4096 view-3 stage-3 tail, whose compiled
+    FORWARD kernel faults only when embedded in a composed program (PERF.md
+    "ln_mlp root cause").  That instance is width-excluded at the call site
+    (models.swin.fused_mlp_tail_train) unless MUMPY_ALLOW_CRASHING_KERNELS=1
+    re-probes it; every other production instance is compiled-green inside
+    the full flagship train step."""
     import os
 
-    sites = os.environ.get("MUMPY_FUSED_TRAIN_SITES", "block,cross")
+    sites = os.environ.get("MUMPY_FUSED_TRAIN_SITES", "block,cross,mlp")
     if sites == "none":
         return False
-    on = sites == "all" or site in {t.strip() for t in sites.split(",")}
-    if (on and site == "mlp" and train_mode() == "compiled"
-            and os.environ.get("MUMPY_ALLOW_CRASHING_KERNELS") != "1"):
-        raise RuntimeError(
-            "MUMPY_FUSED_TRAIN_SITES includes 'mlp', but the compiled "
-            "ln_mlp_vjp kernel crashes the TPU worker on the current runtime "
-            "(PERF.md 'ln_mlp worker crash'; scripts/ln_mlp_repro.py is the "
-            "minimal repro). Set MUMPY_ALLOW_CRASHING_KERNELS=1 to opt in "
-            "anyway, or drop 'mlp' from MUMPY_FUSED_TRAIN_SITES."
-        )
-    return on
+    return sites == "all" or site in {t.strip() for t in sites.split(",")}
 
 
 def train_supported(c: int, mlp_hidden: int, n: int, itemsize: int,

@@ -158,11 +158,21 @@ COMPOSED_CASES = {
 }
 
 
-def run_composed(name: str, batch: int = 12):
+def run_composed(name: str, batch: int = 12, fwd_only: bool = False):
     """One flagship (or reduced-stage flagship) train step with ONLY the mlp
     train-kernel site enabled, optionally width-filtered.  Crashing cases kill
-    the TPU worker (and this process); the parent records rc != 0."""
-    reduced, widths = COMPOSED_CASES[name]
+    the TPU worker (and this process); the parent records rc != 0.
+
+    ``name`` may also be a custom spec "custom:<reduced|full>:<widths|all>"
+    (widths comma-joined with '+' so the spec stays one shell token), e.g.
+    ``custom:reduced:768+512`` — the deep-bisect splits are generated, not
+    hand-listed."""
+    if name.startswith("custom:"):
+        _, model, wspec = name.split(":")
+        reduced = model == "reduced"
+        widths = None if wspec == "all" else wspec.replace("+", ",")
+    else:
+        reduced, widths = COMPOSED_CASES[name]
     os.environ["MUMPY_FUSED_TRAIN_SITES"] = "mlp"
     os.environ["MUMPY_ALLOW_CRASHING_KERNELS"] = "1"
     if widths:
@@ -197,6 +207,20 @@ def run_composed(name: str, batch: int = 12):
     vjp_mod.set_train_mode("compiled")
     state = create_train_state(cfg, OptimConfig(), iter_max=1000,
                                rng=jax.random.PRNGKey(0))
+    if fwd_only:
+        # value only, deterministic=False so the TRAIN mlp-site kernel's
+        # FORWARD runs without its backward — splits the fwd/bwd dimension of
+        # the composed crash.
+        from mumpy_tpu.train.trainer import _loss_for_batch
+
+        @jax.jit
+        def fwd(params, b, rng):
+            loss, _ = _loss_for_batch(
+                state.apply_fn, params, b, rng, False, jnp.bfloat16)
+            return loss
+        v = fwd(state.params, b, jax.random.PRNGKey(1))
+        print(f"[{name}] OK loss={float(v):.4f} (fwd-only)", flush=True)
+        return
     _, jtrain, _ = make_jitted_steps(mesh=None, compute_dtype=jnp.bfloat16)
     state, m = jtrain(state, b, jax.random.PRNGKey(1))
     print(f"[{name}] OK loss={float(m['total']):.4f}", flush=True)
@@ -209,6 +233,9 @@ def main():
     p.add_argument("--composed", action="store_true",
                    help="run the composed (full-train-step) bisect cases")
     p.add_argument("--composed-case", default=None)
+    p.add_argument("--fwd-only", action="store_true",
+                   help="composed case: run the value only (train-kernel fwd "
+                        "without its backward)")
     p.add_argument("--timeout", type=int, default=900,
                    help="per-case compile+run budget (tunnel compiles are slow)")
     args = p.parse_args()
@@ -216,7 +243,7 @@ def main():
         collect_shapes()
         return
     if args.composed_case:
-        run_composed(args.composed_case)
+        run_composed(args.composed_case, fwd_only=args.fwd_only)
         return
     if args.composed:
         results = {}

@@ -172,27 +172,40 @@ def test_fused_ln_mlp_train_grads(rows):
             err_msg=f"weight grad mismatch: {k}")
 
 
-def test_mlp_site_compiled_requires_optin(monkeypatch):
-    """Selecting the mlp train site in COMPILED mode must raise at trace time
-    (the compiled ln_mlp_vjp kernel crashes the TPU worker on the current
-    runtime — PERF.md) unless MUMPY_ALLOW_CRASHING_KERNELS=1 opts in; the
-    interpret mode the CPU suite uses stays allowed."""
-    monkeypatch.setenv("MUMPY_FUSED_TRAIN_SITES", "all")
+def test_mlp_site_width_gate(monkeypatch):
+    """The round-5 bisect root-caused the compiled ln_mlp worker crash to the
+    c=1024 instance alone (PERF.md "ln_mlp root cause"): the mlp site is back
+    in the default train-site set, with the 1024 width excluded in COMPILED
+    mode unless MUMPY_ALLOW_CRASHING_KERNELS=1 re-probes it.  Interpret mode
+    (this suite) keeps exercising the 1024 instance."""
+    from mumpy_tpu.models.swin import mlp_site_width_allowed
+
+    monkeypatch.delenv("MUMPY_FUSED_TRAIN_SITES", raising=False)
     monkeypatch.delenv("MUMPY_ALLOW_CRASHING_KERNELS", raising=False)
+    monkeypatch.delenv("MUMPY_MLP_SITE_WIDTHS", raising=False)
+
+    # mlp is in the default site set again
+    assert vjp_mod.train_site_enabled("mlp")
+    assert vjp_mod.train_site_enabled("block")
 
     vjp_mod.set_train_mode("compiled")
     try:
-        with pytest.raises(RuntimeError, match="MUMPY_ALLOW_CRASHING_KERNELS"):
-            vjp_mod.train_site_enabled("mlp")
-        # non-mlp sites unaffected
-        assert vjp_mod.train_site_enabled("block")
+        assert not mlp_site_width_allowed(1024)   # the faulting instance
+        assert mlp_site_width_allowed(768)
         monkeypatch.setenv("MUMPY_ALLOW_CRASHING_KERNELS", "1")
-        assert vjp_mod.train_site_enabled("mlp")
+        assert mlp_site_width_allowed(1024)       # explicit re-probe knob
+        monkeypatch.delenv("MUMPY_ALLOW_CRASHING_KERNELS")
+        # the bisect inclusion filter composes with the exclusion
+        monkeypatch.setenv("MUMPY_MLP_SITE_WIDTHS", "96,768")
+        assert mlp_site_width_allowed(768)
+        assert not mlp_site_width_allowed(512)
+        assert not mlp_site_width_allowed(1024)
     finally:
         vjp_mod.set_train_mode(None)
-    monkeypatch.delenv("MUMPY_ALLOW_CRASHING_KERNELS", raising=False)
+        monkeypatch.delenv("MUMPY_MLP_SITE_WIDTHS", raising=False)
     vjp_mod.set_train_mode("interpret")
     try:
+        assert mlp_site_width_allowed(1024)       # CPU parity coverage stays
         assert vjp_mod.train_site_enabled("mlp")
     finally:
         vjp_mod.set_train_mode(None)
